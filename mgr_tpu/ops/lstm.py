@@ -1,0 +1,202 @@
+"""Fused bidirectional LSTM scan with Keras-2 semantics.
+
+TPU-native replacement for the reference's ``keras.layers.LSTM`` inside
+``Bidirectional(..., merge_mode='concat')`` stacks
+(/root/reference/audio_network/speech_lstm_ctc_words.py:56-77).
+
+Semantics preserved (each silently changes accuracy if dropped —
+SURVEY.md §7 "hard parts" item 3):
+  * gate order i, f, g(c), o; activation tanh; recurrent_activation
+    hard_sigmoid (clip(0.2x + 0.5, 0, 1)) — Keras 2.1.4 defaults used
+    explicitly at speech_lstm_ctc_words.py:58-59.
+  * kernel init RandomUniform(+-0.05) (speech_lstm_ctc_words.py:42-44),
+    recurrent kernel orthogonal, bias zeros with unit forget bias
+    (Keras LSTM defaults).
+  * input dropout with masks constant over time; Keras draws one mask per
+    gate — we default to a single shared mask (keeps the hoisted input
+    projection one matmul) with ``per_gate=True`` for strict parity.
+  * recurrent_dropout = 0 everywhere in the reference; not implemented.
+
+TPU-first design:
+  * The input projection x @ W for ALL timesteps is hoisted out of the
+    recurrence into one (B*T, F) @ (F, 4H) bf16 matmul (MXU). The
+    ``lax.scan`` step only computes the (B, H) @ (H, 4H) recurrent
+    matmul plus VPU gate math.
+  * Forward and backward directions run as ONE batched scan: weights are
+    stacked on a leading direction axis and the scan is ``vmap``-ed, so
+    the recurrent matmul per step is a single (2, B, H) @ (2, H, 4H)
+    batched matmul instead of two serial scans.
+  * Cell state stays float32; matmul operands are cast to
+    ``compute_dtype`` (bfloat16 by default).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jax.Array]
+
+
+def hard_sigmoid(x: jax.Array) -> jax.Array:
+    """Keras hard_sigmoid: piecewise-linear sigmoid, clip(0.2x+0.5, 0, 1)."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+def init_lstm_params(
+    rng: jax.Array, in_dim: int, hidden: int, kernel_scale: float = 0.05
+) -> Params:
+    """One direction's parameters: W (F,4H), U (H,4H), b (4H,)."""
+    k_w, k_u = jax.random.split(rng)
+    W = jax.random.uniform(
+        k_w, (in_dim, 4 * hidden), minval=-kernel_scale, maxval=kernel_scale,
+        dtype=jnp.float32,
+    )
+    U = jax.nn.initializers.orthogonal()(k_u, (hidden, 4 * hidden), jnp.float32)
+    b = jnp.zeros((4 * hidden,), jnp.float32)
+    # Unit forget-gate bias (Keras unit_forget_bias=True); gate order ifgo.
+    b = b.at[hidden : 2 * hidden].set(1.0)
+    return {"W": W, "U": U, "b": b}
+
+
+def init_bilstm_params(
+    rng: jax.Array, in_dim: int, hidden: int, kernel_scale: float = 0.05
+) -> Params:
+    """Stacked fwd/bwd parameters with a leading direction axis (2, ...)."""
+    k_f, k_b = jax.random.split(rng)
+    fwd = init_lstm_params(k_f, in_dim, hidden, kernel_scale)
+    bwd = init_lstm_params(k_b, in_dim, hidden, kernel_scale)
+    return {k: jnp.stack([fwd[k], bwd[k]]) for k in fwd}
+
+
+def _input_projection(
+    x: jax.Array,
+    W: jax.Array,
+    b: jax.Array,
+    *,
+    rng: Optional[jax.Array],
+    dropout: float,
+    per_gate: bool,
+    train: bool,
+    compute_dtype,
+) -> jax.Array:
+    """x: (D, B, T, F), W: (D, F, 4H) -> (D, B, T, 4H). D = directions."""
+    D, B, T, F = x.shape
+    H4 = W.shape[-1]
+    xc = x.astype(compute_dtype)
+    Wc = W.astype(compute_dtype)
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        if per_gate:
+            # Keras-exact: one mask per gate, constant over time.
+            H = H4 // 4
+            mask = (
+                jax.random.bernoulli(rng, keep, (4, D, B, 1, F)).astype(
+                    compute_dtype
+                )
+                / keep
+            )
+            Wg = Wc.reshape(D, F, 4, H)
+            xp = jnp.einsum(
+                "gdbtf,dfgh->dbtgh", xc[None] * mask, Wg,
+                preferred_element_type=jnp.float32,
+            ).reshape(D, B, T, H4)
+            return xp + b[:, None, None, :]
+        mask = (
+            jax.random.bernoulli(rng, keep, (D, B, 1, F)).astype(compute_dtype)
+            / keep
+        )
+        xc = xc * mask
+    xp = jnp.einsum(
+        "dbtf,dfh->dbth", xc, Wc, preferred_element_type=jnp.float32
+    )
+    return xp + b[:, None, None, :]
+
+
+def _recurrent_scan(
+    xp: jax.Array, U: jax.Array, hidden: int, compute_dtype, unroll: int
+) -> jax.Array:
+    """xp: (D, B, T, 4H) pre-projected inputs; U: (D, H, 4H) -> h (D, B, T, H).
+
+    A single vmap-ed scan over the direction axis: XLA lowers this to one
+    scan whose step does a batched (D, B, H) @ (D, H, 4H) matmul.
+    """
+    D, B, T, _ = xp.shape
+    Uc = U.astype(compute_dtype)
+
+    def step(carry, z):
+        h, c = carry  # (D, B, H) f32, (D, B, H) f32
+        gates = z + jnp.einsum(
+            "dbh,dhk->dbk", h.astype(compute_dtype), Uc,
+            preferred_element_type=jnp.float32,
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = hard_sigmoid(i)
+        f = hard_sigmoid(f)
+        g = jnp.tanh(g)
+        o = hard_sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    h0 = jnp.zeros((D, B, hidden), jnp.float32)
+    c0 = jnp.zeros((D, B, hidden), jnp.float32)
+    xp_t = jnp.moveaxis(xp, 2, 0)  # (T, D, B, 4H)
+    _, hs = jax.lax.scan(step, (h0, c0), xp_t, unroll=unroll)
+    return jnp.moveaxis(hs, 0, 2)  # (D, B, T, H)
+
+
+def bilstm_layer(
+    params: Params,
+    x: jax.Array,
+    *,
+    rng: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    per_gate: bool = False,
+    train: bool = False,
+    compute_dtype=jnp.bfloat16,
+    unroll: int = 8,
+) -> jax.Array:
+    """Bidirectional LSTM, merge_mode='concat': (B, T, F) -> (B, T, 2H).
+
+    ``params`` comes from :func:`init_bilstm_params` (direction-stacked).
+    """
+    if train and dropout > 0.0 and rng is None:
+        raise ValueError("dropout requires an rng key in train mode")
+    B, T, F = x.shape
+    hidden = params["U"].shape[-1] // 4
+
+    # Direction axis: slot 0 sees x, slot 1 sees time-reversed x.
+    x2 = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, F)
+    xp = _input_projection(
+        x2, params["W"], params["b"],
+        rng=rng, dropout=dropout, per_gate=per_gate, train=train,
+        compute_dtype=compute_dtype,
+    )
+    hs = _recurrent_scan(xp, params["U"], hidden, compute_dtype, unroll)
+    fwd = hs[0]
+    bwd = jnp.flip(hs[1], axis=1)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def lstm_layer(
+    params: Params,
+    x: jax.Array,
+    *,
+    reverse: bool = False,
+    compute_dtype=jnp.bfloat16,
+    unroll: int = 8,
+) -> jax.Array:
+    """Single-direction LSTM (no dropout): (B, T, F) -> (B, T, H)."""
+    hidden = params["U"].shape[-1] // 4
+    xi = jnp.flip(x, axis=1) if reverse else x
+    xp = _input_projection(
+        xi[None], params["W"][None], params["b"][None],
+        rng=None, dropout=0.0, per_gate=False, train=False,
+        compute_dtype=compute_dtype,
+    )
+    hs = _recurrent_scan(xp, params["U"][None], hidden, compute_dtype, unroll)[0]
+    return jnp.flip(hs, axis=1) if reverse else hs
