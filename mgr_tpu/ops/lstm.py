@@ -23,16 +23,21 @@ TPU-first design:
     ``lax.scan`` step only computes the (B, H) @ (H, 4H) recurrent
     matmul plus VPU gate math.
   * Forward and backward directions run as ONE batched scan: weights are
-    stacked on a leading direction axis and the scan is ``vmap``-ed, so
-    the recurrent matmul per step is a single (2, B, H) @ (2, H, 4H)
-    batched matmul instead of two serial scans.
+    stacked on a leading direction axis and the scan is ``vmap``-ed-style
+    batched, so the recurrent matmul per step is a single
+    (2, B, H) @ (2, H, 4H) batched matmul instead of two serial scans.
+  * Weights are stored gate-blocked as (..., 4, H) rather than a fused
+    4H axis. Gate selection is then a static index on the size-4 axis,
+    and tensor parallelism shards the trailing H axis cleanly: each
+    device owns all four gates for a block of hidden units, and the
+    recurrent contraction over the (sharded) carry H produces the psum
+    XLA inserts automatically under pjit (Megatron-style RNN TP).
   * Cell state stays float32; matmul operands are cast to
     ``compute_dtype`` (bfloat16 by default).
 """
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional
 
 import jax
@@ -49,16 +54,20 @@ def hard_sigmoid(x: jax.Array) -> jax.Array:
 def init_lstm_params(
     rng: jax.Array, in_dim: int, hidden: int, kernel_scale: float = 0.05
 ) -> Params:
-    """One direction's parameters: W (F,4H), U (H,4H), b (4H,)."""
+    """One direction's parameters, gate-blocked:
+    W (F, 4, H), U (H, 4, H), b (4, H); gate order i, f, g, o."""
     k_w, k_u = jax.random.split(rng)
     W = jax.random.uniform(
-        k_w, (in_dim, 4 * hidden), minval=-kernel_scale, maxval=kernel_scale,
+        k_w, (in_dim, 4, hidden), minval=-kernel_scale, maxval=kernel_scale,
         dtype=jnp.float32,
     )
-    U = jax.nn.initializers.orthogonal()(k_u, (hidden, 4 * hidden), jnp.float32)
-    b = jnp.zeros((4 * hidden,), jnp.float32)
-    # Unit forget-gate bias (Keras unit_forget_bias=True); gate order ifgo.
-    b = b.at[hidden : 2 * hidden].set(1.0)
+    # Keras initializes the fused (H, 4H) recurrent kernel as one
+    # orthogonal matrix; reshape to the gate-blocked layout.
+    U = jax.nn.initializers.orthogonal()(
+        k_u, (hidden, 4 * hidden), jnp.float32
+    ).reshape(hidden, 4, hidden)
+    b = jnp.zeros((4, hidden), jnp.float32)
+    b = b.at[1].set(1.0)  # unit forget-gate bias (Keras unit_forget_bias)
     return {"W": W, "U": U, "b": b}
 
 
@@ -83,68 +92,65 @@ def _input_projection(
     train: bool,
     compute_dtype,
 ) -> jax.Array:
-    """x: (D, B, T, F), W: (D, F, 4H) -> (D, B, T, 4H). D = directions."""
+    """x: (D, B, T, F), W: (D, F, 4, H) -> (D, B, T, 4, H)."""
     D, B, T, F = x.shape
-    H4 = W.shape[-1]
     xc = x.astype(compute_dtype)
     Wc = W.astype(compute_dtype)
     if train and dropout > 0.0:
         keep = 1.0 - dropout
         if per_gate:
             # Keras-exact: one mask per gate, constant over time.
-            H = H4 // 4
             mask = (
                 jax.random.bernoulli(rng, keep, (4, D, B, 1, F)).astype(
                     compute_dtype
                 )
                 / keep
             )
-            Wg = Wc.reshape(D, F, 4, H)
             xp = jnp.einsum(
-                "gdbtf,dfgh->dbtgh", xc[None] * mask, Wg,
+                "gdbtf,dfgh->dbtgh", xc[None] * mask, Wc,
                 preferred_element_type=jnp.float32,
-            ).reshape(D, B, T, H4)
-            return xp + b[:, None, None, :]
+            )
+            return xp + b[:, None, None, :, :]
         mask = (
             jax.random.bernoulli(rng, keep, (D, B, 1, F)).astype(compute_dtype)
             / keep
         )
         xc = xc * mask
     xp = jnp.einsum(
-        "dbtf,dfh->dbth", xc, Wc, preferred_element_type=jnp.float32
+        "dbtf,dfgh->dbtgh", xc, Wc, preferred_element_type=jnp.float32
     )
-    return xp + b[:, None, None, :]
+    return xp + b[:, None, None, :, :]
 
 
 def _recurrent_scan(
-    xp: jax.Array, U: jax.Array, hidden: int, compute_dtype, unroll: int
+    xp: jax.Array, U: jax.Array, compute_dtype, unroll: int
 ) -> jax.Array:
-    """xp: (D, B, T, 4H) pre-projected inputs; U: (D, H, 4H) -> h (D, B, T, H).
+    """xp: (D, B, T, 4, H) pre-projected inputs; U: (D, H, 4, H)
+    -> h (D, B, T, H).
 
-    A single vmap-ed scan over the direction axis: XLA lowers this to one
-    scan whose step does a batched (D, B, H) @ (D, H, 4H) matmul.
+    One scan over time; its step is a single batched
+    (D, B, H) @ (D, H, 4H) matmul plus VPU gate math for BOTH directions.
     """
-    D, B, T, _ = xp.shape
+    D, B, T, _, H = xp.shape
     Uc = U.astype(compute_dtype)
 
     def step(carry, z):
-        h, c = carry  # (D, B, H) f32, (D, B, H) f32
+        h, c = carry  # (D, B, H) f32 each
         gates = z + jnp.einsum(
-            "dbh,dhk->dbk", h.astype(compute_dtype), Uc,
+            "dbh,dhgk->dbgk", h.astype(compute_dtype), Uc,
             preferred_element_type=jnp.float32,
         )
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = hard_sigmoid(i)
-        f = hard_sigmoid(f)
-        g = jnp.tanh(g)
-        o = hard_sigmoid(o)
+        i = hard_sigmoid(gates[:, :, 0])
+        f = hard_sigmoid(gates[:, :, 1])
+        g = jnp.tanh(gates[:, :, 2])
+        o = hard_sigmoid(gates[:, :, 3])
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
-    h0 = jnp.zeros((D, B, hidden), jnp.float32)
-    c0 = jnp.zeros((D, B, hidden), jnp.float32)
-    xp_t = jnp.moveaxis(xp, 2, 0)  # (T, D, B, 4H)
+    h0 = jnp.zeros((D, B, H), jnp.float32)
+    c0 = jnp.zeros((D, B, H), jnp.float32)
+    xp_t = jnp.moveaxis(xp, 2, 0)  # (T, D, B, 4, H)
     _, hs = jax.lax.scan(step, (h0, c0), xp_t, unroll=unroll)
     return jnp.moveaxis(hs, 0, 2)  # (D, B, T, H)
 
@@ -166,8 +172,6 @@ def bilstm_layer(
     """
     if train and dropout > 0.0 and rng is None:
         raise ValueError("dropout requires an rng key in train mode")
-    B, T, F = x.shape
-    hidden = params["U"].shape[-1] // 4
 
     # Direction axis: slot 0 sees x, slot 1 sees time-reversed x.
     x2 = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, F)
@@ -176,7 +180,7 @@ def bilstm_layer(
         rng=rng, dropout=dropout, per_gate=per_gate, train=train,
         compute_dtype=compute_dtype,
     )
-    hs = _recurrent_scan(xp, params["U"], hidden, compute_dtype, unroll)
+    hs = _recurrent_scan(xp, params["U"], compute_dtype, unroll)
     fwd = hs[0]
     bwd = jnp.flip(hs[1], axis=1)
     return jnp.concatenate([fwd, bwd], axis=-1)
@@ -191,12 +195,11 @@ def lstm_layer(
     unroll: int = 8,
 ) -> jax.Array:
     """Single-direction LSTM (no dropout): (B, T, F) -> (B, T, H)."""
-    hidden = params["U"].shape[-1] // 4
     xi = jnp.flip(x, axis=1) if reverse else x
     xp = _input_projection(
         xi[None], params["W"][None], params["b"][None],
         rng=None, dropout=0.0, per_gate=False, train=False,
         compute_dtype=compute_dtype,
     )
-    hs = _recurrent_scan(xp, params["U"][None], hidden, compute_dtype, unroll)[0]
+    hs = _recurrent_scan(xp, params["U"][None], compute_dtype, unroll)[0]
     return jnp.flip(hs, axis=1) if reverse else hs

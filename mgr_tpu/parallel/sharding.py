@@ -1,0 +1,91 @@
+"""Sharding rules: how params and batches map onto the mesh.
+
+Tensor parallelism for the LSTM uses the gate-blocked weight layout
+(mgr_tpu.ops.lstm): W (D, F, 4, H), U (D, H, 4, H), b (D, 4, H) all
+shard their trailing H axis over ``model``. Each device then owns all
+four gates for a contiguous block of hidden units; the recurrent
+contraction over the carry's (sharded) H axis makes XLA insert the
+per-step psum over the model axis — Megatron-style RNN TP without any
+hand-written collective.
+
+Batches shard their leading (batch) axis over ``data``. Everything else
+(dense heads, conv kernels, optimizer scalars) is replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Dict[str, Any]
+
+
+def batch_pspec(mesh: Mesh) -> P:
+    data_axis = mesh.axis_names[0]
+    return P(data_axis)
+
+
+def _leaf_pspec(path: str, leaf, model_axis: str) -> P:
+    """Sharding rule for a single parameter leaf, keyed by its name/rank."""
+    ndim = getattr(leaf, "ndim", 0)
+    name = path.split("/")[-1]
+    if name == "W" and ndim == 4:  # (D, F, 4, H) bilstm kernel
+        return P(None, None, None, model_axis)
+    if name == "U" and ndim == 4:  # (D, H, 4, H) recurrent kernel
+        return P(None, None, None, model_axis)
+    if name == "b" and ndim == 3:  # (D, 4, H) bilstm bias
+        return P(None, None, model_axis)
+    return P()  # replicate
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_pspecs(params: Params, mesh: Mesh) -> Params:
+    """PartitionSpec pytree matching ``params``."""
+    model_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    model_size = mesh.shape.get(model_axis, 1) if model_axis else 1
+
+    def rule(path, leaf):
+        if model_axis is None or model_size == 1:
+            return P()
+        spec = _leaf_pspec(_path_str(path), leaf, model_axis)
+        # Only shard if the annotated axis divides evenly.
+        for dim, axis in zip(leaf.shape, spec):
+            if axis is not None and dim % model_size != 0:
+                return P()
+        return spec
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def param_shardings(params: Params, mesh: Mesh) -> Params:
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_pspecs(params, mesh),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place parameters on the mesh according to the TP rules."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, param_shardings(params, mesh)
+    )
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch on the mesh, batch axis over ``data``."""
+    sharding = NamedSharding(mesh, batch_pspec(mesh))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

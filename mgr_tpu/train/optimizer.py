@@ -1,0 +1,107 @@
+"""Keras-parity optimizer stack on optax.
+
+Reference semantics reproduced exactly:
+  * Adam(lr=1e-4, clipvalue=0.5) — element-wise GRADIENT value clipping
+    before the Adam moments (speech_lstm_ctc_words.py:115-116).
+  * Keras `decay`: lr_t = lr / (1 + decay * step) — inverse-time decay
+    applied per update (skeletal_lstm_ctc.py:374-376, decay=1e-5).
+  * Keras epsilon default 1e-7 (not optax's 1e-8).
+  * maxnorm(3) kernel constraint — Keras applies constraints as a
+    projection AFTER the weight update, per output column (axis 0 of the
+    fused (F, 4H) kernel). Implemented as :func:`apply_maxnorm` over the
+    gate-blocked layout: norm over the fan-in axis for each (gate,
+    hidden) column. Only LSTM input kernels carry the constraint in the
+    reference (kernel_constraint=maxnorm(3), recurrent and dense do not).
+  * Layer freezing (late fusion) — gradients for frozen leaves are
+    zeroed, replacing the reference's Bidirectional-freeze workaround
+    (multimodal.py:33-55).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mgr_tpu.core.config import OptimizerConfig
+
+Params = Dict[str, Any]
+
+
+def keras_adam(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    def neg_decayed_lr(step):
+        return -cfg.learning_rate / (1.0 + cfg.decay * step)
+
+    return optax.chain(
+        optax.clip(cfg.clipvalue),  # element-wise |g| <= clipvalue
+        optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
+        optax.scale_by_schedule(neg_decayed_lr),
+    )
+
+
+def freeze_mask_grads(grads: Params, trainable: Params) -> Params:
+    """Zero gradients of frozen leaves (trainable=False)."""
+    return jax.tree.map(
+        lambda g, t: g if t else jnp.zeros_like(g), grads, trainable
+    )
+
+
+def _is_constrained_kernel(path) -> bool:
+    """LSTM input kernels 'W' under a blstm/fusion subtree carry
+    maxnorm(3); recurrent kernels 'U', biases, dense and conv do not."""
+    names = [getattr(p, "key", None) for p in path]
+    return names[-1] == "W" and any(
+        isinstance(n, str) and (n.startswith("blstm") or n == "fusion")
+        for n in names
+    )
+
+
+def apply_maxnorm(params: Params, max_value: Optional[float]) -> Params:
+    """Project constrained kernels to column norm <= max_value.
+
+    Gate-blocked kernel W (D, F, 4, H): the Keras fused kernel column is
+    the fan-in (F) slice for one (direction, gate, hidden unit), so the
+    norm reduces over axis 1."""
+    if max_value is None:
+        return params
+
+    def proj(path, w):
+        if not _is_constrained_kernel(path):
+            return w
+        norms = jnp.sqrt(
+            jnp.sum(jnp.square(w), axis=1, keepdims=True) + 1e-12
+        )
+        scale = jnp.minimum(1.0, max_value / norms)
+        return w * scale
+
+    return jax.tree_util.tree_map_with_path(proj, params)
+
+
+class ReduceLROnPlateau:
+    """Host-side LR controller matching keras.callbacks.ReduceLROnPlateau
+    (factor/patience/min_lr as in rgb_network/cnn_lstm.py:439-444).
+
+    Tracked as a multiplicative scale the train step consumes, so the
+    jitted computation never recompiles on LR change."""
+
+    def __init__(self, factor: float, patience: int, min_lr: float,
+                 base_lr: float):
+        self.factor = factor
+        self.patience = patience
+        self.min_scale = min_lr / base_lr
+        self.best = float("inf")
+        self.wait = 0
+        self.scale = 1.0
+
+    def update(self, val_loss: float) -> float:
+        if val_loss < self.best - 1e-4:
+            self.best = val_loss
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.wait = 0
+        return self.scale

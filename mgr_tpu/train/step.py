@@ -1,0 +1,118 @@
+"""Jitted train / eval / predict steps.
+
+One generic step serves all five pipelines (the reference copy-pasted
+this scaffolding per modality — SURVEY.md §1). Everything here is
+SPMD-ready: run inside a ``Mesh`` with sharded params/batches and XLA
+inserts the data-parallel gradient psum and the TP collectives.
+
+Batch contract (mirrors the reference's generator outputs,
+/root/reference/audio_network/data_generator.py:232-240, minus the
+dummy-zeros trick which a real loss function makes unnecessary):
+  inputs        (B, T, F) array, or a tuple of arrays for fusion models
+  labels        (B, N) int32, -1 padded
+  input_length  (B,) int32 — valid frames AFTER the ctc trim
+  label_length  (B,) int32
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mgr_tpu.models.zoo import ModelDef
+from mgr_tpu.ops.ctc import ctc_loss_from_logits
+from mgr_tpu.train import optimizer as opt_lib
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Params
+    opt_state: Any
+
+    @property
+    def as_pytree(self):
+        return self
+
+
+def create_train_state(model: ModelDef, rng: jax.Array) -> TrainState:
+    params = model.init(rng)
+    tx = opt_lib.keras_adam(model.config.optimizer)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
+
+
+def _batch_inputs(batch: Dict[str, Any]):
+    if "inputs2" in batch:
+        return (batch["inputs"], batch["inputs2"])
+    return batch["inputs"]
+
+
+def _loss_from_batch(model: ModelDef, params: Params, batch, *, train, rng):
+    cfg = model.config
+    logits = model.apply(params, _batch_inputs(batch), train=train, rng=rng)
+    losses = ctc_loss_from_logits(
+        logits,
+        batch["labels"],
+        batch["input_length"],
+        batch["label_length"],
+        trim_frames=cfg.ctc.trim_frames,
+    )
+    return losses.mean()
+
+
+def make_train_step(
+    model: ModelDef,
+) -> Callable[[TrainState, Dict[str, Any], jax.Array, jax.Array],
+              Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Returns step(state, batch, rng, lr_scale) -> (state, metrics).
+
+    ``lr_scale`` is a traced scalar so host-side ReduceLROnPlateau never
+    triggers recompilation."""
+    cfg = model.config
+    tx = opt_lib.keras_adam(cfg.optimizer)
+
+    def step(state: TrainState, batch, rng, lr_scale):
+        def loss_fn(params):
+            return _loss_from_batch(model, params, batch, train=True, rng=rng)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        trainable = model.trainable(state.params)
+        grads = opt_lib.freeze_mask_grads(grads, trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+        params = opt_lib.apply_maxnorm(params, cfg.optimizer.maxnorm)
+        grad_norm = optax.global_norm(grads)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model: ModelDef):
+    """Returns step(params, batch) -> mean val loss (no dropout/noise)."""
+
+    def step(params: Params, batch):
+        return _loss_from_batch(model, params, batch, train=False, rng=None)
+
+    return jax.jit(step)
+
+
+def make_predict_step(model: ModelDef):
+    """Returns step(params, inputs) -> per-frame softmax probabilities
+    (B, T, C) — the sub-model the reference extracts for decoding
+    (/root/reference/audio_network/sequence_decoding.py:104-105)."""
+
+    def step(params: Params, inputs):
+        logits = model.apply(params, inputs, train=False, rng=None)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return jax.jit(step)

@@ -12,6 +12,15 @@ def _np_hard_sigmoid(x):
     return np.clip(0.2 * x + 0.5, 0.0, 1.0)
 
 
+def _fused(params, d=None):
+    """Gate-blocked (F,4,H)/(H,4,H)/(4,H) -> fused (F,4H)/(H,4H)/(4H,)."""
+    W, U, b = (np.asarray(params[k]) for k in ("W", "U", "b"))
+    if d is not None:
+        W, U, b = W[d], U[d], b[d]
+    F, _, H = W.shape
+    return W.reshape(F, 4 * H), U.reshape(H, 4 * H), b.reshape(4 * H)
+
+
 def _np_lstm(W, U, b, x, reverse=False):
     """x: (B, T, F) -> (B, T, H). Plain per-step NumPy recurrence."""
     B, T, F = x.shape
@@ -45,10 +54,8 @@ def test_single_direction_matches_numpy():
     got = np.asarray(
         lstm.lstm_layer(params, jnp.asarray(x), compute_dtype=jnp.float32)
     )
-    want = _np_lstm(
-        np.asarray(params["W"]), np.asarray(params["U"]),
-        np.asarray(params["b"]), x,
-    )
+    W, U, b = _fused(params)
+    want = _np_lstm(W, U, b, x)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
@@ -64,10 +71,8 @@ def test_reverse_direction_matches_numpy():
             params, jnp.asarray(x), reverse=True, compute_dtype=jnp.float32
         )
     )
-    want = _np_lstm(
-        np.asarray(params["W"]), np.asarray(params["U"]),
-        np.asarray(params["b"]), x, reverse=True,
-    )
+    W, U, b = _fused(params)
+    want = _np_lstm(W, U, b, x, reverse=True)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
@@ -81,9 +86,10 @@ def test_bilstm_matches_two_numpy_directions():
     got = np.asarray(
         lstm.bilstm_layer(params, jnp.asarray(x), compute_dtype=jnp.float32)
     )
-    W, U, b = (np.asarray(params[k]) for k in ("W", "U", "b"))
-    fwd = _np_lstm(W[0], U[0], b[0], x)
-    bwd = _np_lstm(W[1], U[1], b[1], x, reverse=True)
+    Wf, Uf, bf = _fused(params, 0)
+    Wb, Ub, bb = _fused(params, 1)
+    fwd = _np_lstm(Wf, Uf, bf, x)
+    bwd = _np_lstm(Wb, Ub, bb, x, reverse=True)
     want = np.concatenate([fwd, bwd], axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
@@ -91,9 +97,9 @@ def test_bilstm_matches_two_numpy_directions():
 def test_unit_forget_bias_and_shapes():
     params = lstm.init_bilstm_params(jax.random.key(0), 3, 4)
     b = np.asarray(params["b"])
-    assert b.shape == (2, 16)
-    np.testing.assert_array_equal(b[:, 4:8], 1.0)  # forget gate block
-    np.testing.assert_array_equal(b[:, :4], 0.0)
+    assert b.shape == (2, 4, 4)
+    np.testing.assert_array_equal(b[:, 1, :], 1.0)  # forget gate block
+    np.testing.assert_array_equal(b[:, 0, :], 0.0)
 
 
 def test_dropout_only_in_train_mode():

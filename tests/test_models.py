@@ -1,0 +1,117 @@
+"""Model zoo: shapes, determinism, freezing, CNN geometry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgr_tpu.core import config as cfglib
+from mgr_tpu.models import build_model, layers
+
+
+def _tiny(name, **kw):
+    cfg = cfglib.get_preset(name)
+    enc = cfg.encoder
+    small_enc = cfglib.EncoderConfig(
+        hidden=8, depth=enc.depth, input_noise=enc.input_noise,
+        dropout=enc.dropout, output_dropout=enc.output_dropout,
+    )
+    over = dict(maxlen=12, batch_size=2, encoder=small_enc,
+                compute_dtype="float32")
+    over.update(kw)
+    return cfg.replace(**over)
+
+
+def test_speech_shapes_and_modes():
+    cfg = _tiny("speech", num_feats=5, nb_classes=7)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, cfg.maxlen, 5))
+    out_eval = model.apply(params, x)
+    assert out_eval.shape == (2, cfg.maxlen, 7)
+    # eval is deterministic
+    out_eval2 = model.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
+    # train mode with noise+dropout differs
+    out_tr = model.apply(params, x, train=True, rng=jax.random.key(2))
+    assert not np.allclose(np.asarray(out_tr), np.asarray(out_eval))
+
+
+def test_skeletal_shapes():
+    cfg = _tiny("skeletal", num_feats=4, nb_classes=6)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, cfg.maxlen, 4))
+    assert model.apply(params, x).shape == (2, cfg.maxlen, 6)
+
+
+def test_rgb_shapes_and_cnn_geometry():
+    cnn = cfglib.CNNConfig(img_dim=20, channels=(4, 6, 8),
+                           kernel_sizes=(5, 5, 4), pool_sizes=(2, 2, 2))
+    # 20 -conv5-> 16 -pool-> 8 -conv5-> 4 ... too small; use img 28
+    cnn = cfglib.CNNConfig(img_dim=28, channels=(4, 6, 8),
+                           kernel_sizes=(5, 5, 4), pool_sizes=(2, 2, 2))
+    # 28->24->12 ; 12->8->4 ; 4->1->0 invalid. img 36:
+    cnn = cfglib.CNNConfig(img_dim=36, channels=(4, 6, 8),
+                           kernel_sizes=(5, 5, 4), pool_sizes=(2, 2, 2))
+    # 36->32->16 ; 16->12->6 ; 6->3->1 => 1*1*8 = 8
+    assert layers.cnn_output_dim(cnn) == 8
+    cfg = _tiny("rgb", cnn=cnn, nb_classes=5, maxlen=4)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 4, 36, 36, 1))
+    out = model.apply(params, x)
+    assert out.shape == (2, 4, 5)
+
+
+def test_reference_cnn_geometry():
+    # The reference geometry: 60 -> conv5 56 -> pool 28 -> conv5 24 ->
+    # pool 12 -> conv4 9 -> pool 4 => 4*4*48 = 768 flat features.
+    cnn = cfglib.CNNConfig()
+    assert layers.cnn_output_dim(cnn) == 4 * 4 * 48
+
+
+def test_early_fusion_two_streams():
+    cfg = _tiny("early_fusion", num_feats=5, second_stream_feats=3,
+                nb_classes=6)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    xa = jax.random.normal(jax.random.key(1), (2, cfg.maxlen, 5))
+    xs = jax.random.normal(jax.random.key(2), (2, cfg.maxlen, 3))
+    out = model.apply(params, (xa, xs))
+    assert out.shape == (2, cfg.maxlen, 6)
+
+
+def test_late_fusion_shapes_and_freeze_mask():
+    sp = _tiny("speech", num_feats=5)
+    sk = _tiny("skeletal", num_feats=4)
+    cfg = _tiny("late_fusion", num_feats=5, second_stream_feats=4,
+                nb_classes=6, fusion_hidden=4)
+    model = build_model(cfg, source_configs={"speech": sp, "skeletal": sk})
+    params = model.init(jax.random.key(0))
+    xa = jax.random.normal(jax.random.key(1), (2, cfg.maxlen, 5))
+    xs = jax.random.normal(jax.random.key(2), (2, cfg.maxlen, 4))
+    out = model.apply(params, (xa, xs))
+    assert out.shape == (2, cfg.maxlen, 6)
+
+    mask = model.trainable(params)
+    froz = jax.tree.leaves(mask["speech"]) + jax.tree.leaves(mask["skeletal"])
+    live = jax.tree.leaves(mask["fusion"]) + jax.tree.leaves(mask["head"])
+    assert all(v is False for v in froz)
+    assert all(v is True for v in live)
+
+    # Encoder param shapes line up with the uni-modal models so that
+    # pretrained checkpoints graft directly.
+    sp_params = build_model(sp).init(jax.random.key(3))
+    assert jax.tree.map(jnp.shape, params["speech"]) == jax.tree.map(
+        jnp.shape, sp_params["encoder"]
+    )
+
+
+def test_jit_apply():
+    cfg = _tiny("speech", num_feats=5, nb_classes=7)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, cfg.maxlen, 5))
+    jit_apply = jax.jit(lambda p, x: model.apply(p, x))
+    out = jit_apply(params, x)
+    assert np.all(np.isfinite(np.asarray(out)))
