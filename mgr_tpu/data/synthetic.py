@@ -1,0 +1,159 @@
+"""Synthetic ChaLearn-format fixtures for tests and benchmarks.
+
+Writes tiny datasets in the reference's exact on-disk layout (per-file
+audio CSVs, monolithic skeletal/audio CSVs, Id/Sequence label files,
+per-video .npy) so the loaders, trainers, and decoders can be exercised
+end-to-end without the real 10 GB dataset.
+
+The generated sequences are learnable on purpose: each gesture class
+shifts the feature distribution, so a few training steps visibly drop
+the CTC loss in smoke tests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from mgr_tpu.data.formats import SKELETAL_FEATURES
+
+
+def _label_sequences(
+    rng: np.random.Generator, n_files: int, n_classes: int, max_labels: int
+) -> Dict[int, List[int]]:
+    out = {}
+    for fid in range(1, n_files + 1):
+        k = int(rng.integers(1, max_labels + 1))
+        out[fid] = rng.integers(1, n_classes - 1, size=k).tolist()
+    return out
+
+
+def write_label_csv(path: str, labels: Dict[int, List[int]]) -> None:
+    with open(path, "w") as f:
+        f.write("Id,Sequence\n")
+        for fid, seq in labels.items():
+            f.write(f"{fid},{' '.join(str(x) for x in seq)}\n")
+
+
+def _class_signal(
+    rng: np.random.Generator, seq: Sequence[int], frames_per: int, F: int
+) -> np.ndarray:
+    """Per-class mean-shifted noise blocks, one block per label."""
+    blocks = []
+    for c in seq:
+        mean = (c % 7) - 3.0
+        blocks.append(
+            rng.normal(mean, 1.0, size=(frames_per, F)).astype(np.float32)
+        )
+    return np.concatenate(blocks, axis=0)
+
+
+def make_audio_dataset(
+    out_dir: str,
+    *,
+    n_files: int = 8,
+    n_classes: int = 22,
+    frames_per_label: int = 60,
+    max_labels: int = 3,
+    seed: int = 0,
+) -> Tuple[str, str, Dict[int, List[int]]]:
+    """Per-file ``audio_<id>.csv`` (39 feats + file_number col) and a
+    ``training_oov.csv`` label file. Returns (data_dir, label_file,
+    labels)."""
+    rng = np.random.default_rng(seed)
+    data_dir = os.path.join(out_dir, "train_audio")
+    os.makedirs(data_dir, exist_ok=True)
+    labels = _label_sequences(rng, n_files, n_classes, max_labels)
+    header = ",".join(str(i) for i in range(39)) + ",file_number"
+    for fid, seq in labels.items():
+        x = _class_signal(rng, seq, frames_per_label, 39)
+        rows = np.concatenate(
+            [x, np.full((x.shape[0], 1), fid, np.float32)], axis=1
+        )
+        np.savetxt(
+            os.path.join(data_dir, f"audio_{fid}.csv"),
+            rows, delimiter=",", header=header, comments="", fmt="%.5f",
+        )
+    label_file = os.path.join(out_dir, "training_oov.csv")
+    write_label_csv(label_file, labels)
+    return data_dir, label_file, labels
+
+
+def make_skeletal_dataset(
+    out_dir: str,
+    *,
+    n_files: int = 8,
+    n_classes: int = 22,
+    frames_per_label: int = 40,
+    max_labels: int = 3,
+    seed: int = 1,
+) -> Tuple[str, str, Dict[int, List[int]]]:
+    """Monolithic ``Training_set_skeletal.csv`` (20 feats + file_number)
+    and a ``training.csv`` label file."""
+    rng = np.random.default_rng(seed)
+    labels = _label_sequences(rng, n_files, n_classes, max_labels)
+    rows = []
+    for fid, seq in labels.items():
+        x = _class_signal(rng, seq, frames_per_label, len(SKELETAL_FEATURES))
+        fcol = np.full((x.shape[0], 1), fid, np.float32)
+        rows.append(np.concatenate([x, fcol], axis=1))
+    all_rows = np.concatenate(rows, axis=0)
+    csv_path = os.path.join(out_dir, "Training_set_skeletal.csv")
+    header = ",".join(SKELETAL_FEATURES) + ",file_number"
+    np.savetxt(csv_path, all_rows, delimiter=",", header=header,
+               comments="", fmt="%.5f")
+    label_file = os.path.join(out_dir, "training.csv")
+    write_label_csv(label_file, labels)
+    return csv_path, label_file, labels
+
+
+def make_monolithic_audio_dataset(
+    out_dir: str,
+    labels: Dict[int, List[int]],
+    *,
+    frames_per_label: int = 300,  # pre-downsample: x5 of the skeletal rate
+    seed: int = 2,
+) -> str:
+    """Headerless labeled audio CSV for the early-fusion pipeline:
+    cols 0-38 feats, col 39 file id, col 40 per-frame class label."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for fid, seq in labels.items():
+        x = _class_signal(rng, seq, frames_per_label, 39)
+        frame_labels = np.repeat(
+            np.asarray(seq, np.float32), frames_per_label
+        )[:, None]
+        fcol = np.full((x.shape[0], 1), fid, np.float32)
+        rows.append(np.concatenate([x, fcol, frame_labels], axis=1))
+    all_rows = np.concatenate(rows, axis=0)
+    path = os.path.join(out_dir, "Training_set_audio_labeled.csv")
+    np.savetxt(path, all_rows, delimiter=",", fmt="%.5f")
+    return path
+
+
+def make_rgb_dataset(
+    out_dir: str,
+    *,
+    n_files: int = 4,
+    n_classes: int = 22,
+    frames_per_label: int = 10,
+    max_labels: int = 2,
+    img_dim: int = 60,
+    seed: int = 3,
+) -> Tuple[str, str, Dict[int, List[int]]]:
+    """Per-video ``Sample#####_color.npy`` (T, D, D, 1) + labels."""
+    rng = np.random.default_rng(seed)
+    data_dir = os.path.join(out_dir, "training_up_body")
+    os.makedirs(data_dir, exist_ok=True)
+    labels = _label_sequences(rng, n_files, n_classes, max_labels)
+    for fid, seq in labels.items():
+        T = frames_per_label * len(seq)
+        video = rng.integers(0, 256, size=(T, img_dim, img_dim, 1)).astype(
+            np.uint8
+        )
+        np.save(os.path.join(data_dir, f"Sample{fid:05d}_color.npy"), video)
+    label_file = os.path.join(out_dir, "rgb_training.csv")
+    write_label_csv(label_file, labels)
+    return data_dir, label_file, labels
