@@ -1,0 +1,79 @@
+"""Checkpoint store: msgpack pytrees + JSON config, best/latest slots.
+
+Replaces the reference's dual Keras mechanisms — best-val ModelCheckpoint
+h5 (speech_lstm_ctc_words.py:172-178) and the generator's epoch-end
+JSON+h5 dump (data_generator.py:267-283) — with one format consumed by
+resume, decode, and the late-fusion transfer stage
+(multimodal.py:68-85).
+
+Layout inside a workdir:
+    <stamp>_config.json     pipeline config (reference saved model JSON)
+    <stamp>_latest.msgpack  every-epoch state  (step, params, opt_state)
+    <stamp>_best.msgpack    best-val-loss state
+Writes are atomic (tmp + rename) so preemption mid-save never corrupts a
+slot — the first-class failure-recovery path the reference lacked
+(SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+from mgr_tpu.core.config import PipelineConfig
+
+
+def _path(workdir: str, stamp: str, slot: str) -> str:
+    return os.path.join(workdir, f"{stamp}_{slot}.msgpack")
+
+
+def save_config(workdir: str, stamp: str, cfg: PipelineConfig) -> None:
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, f"{stamp}_config.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(cfg.to_json())
+    os.replace(tmp, path)
+
+
+def load_config(workdir: str, stamp: str) -> PipelineConfig:
+    with open(os.path.join(workdir, f"{stamp}_config.json")) as f:
+        return PipelineConfig.from_json(f.read())
+
+
+def save_checkpoint(
+    workdir: str, stamp: str, state: Any, *, slot: str = "latest"
+) -> str:
+    """Serialize a pytree (TrainState or bare params) to a slot.
+
+    Device arrays are fetched to host first so a sharded state saves from
+    any mesh layout."""
+    os.makedirs(workdir, exist_ok=True)
+    host_state = jax.tree.map(
+        lambda x: jax.device_get(x) if hasattr(x, "device") else x, state
+    )
+    data = serialization.to_bytes(host_state)
+    path = _path(workdir, stamp, slot)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(
+    workdir: str, stamp: str, template: Any, *, slot: str = "latest"
+) -> Any:
+    """Restore into the structure of ``template`` (a freshly built state
+    with the same config)."""
+    with open(_path(workdir, stamp, slot), "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(template, data)
+
+
+def has_checkpoint(workdir: str, stamp: str, slot: str = "latest") -> bool:
+    return os.path.exists(_path(workdir, stamp, slot))
