@@ -119,7 +119,10 @@ def _input_projection(
     xp = jnp.einsum(
         "dbtf,dfgh->dbtgh", xc, Wc, preferred_element_type=jnp.float32
     )
-    return xp + b[:, None, None, :, :]
+    # Keep the (D, B, T, 4, H) projection in compute dtype: it is the
+    # dominant activation buffer (4H >> F); gate math re-accumulates in
+    # f32 inside the scan.
+    return (xp + b[:, None, None, :, :]).astype(compute_dtype)
 
 
 def _recurrent_scan(
@@ -136,7 +139,7 @@ def _recurrent_scan(
 
     def step(carry, z):
         h, c = carry  # (D, B, H) f32 each
-        gates = z + jnp.einsum(
+        gates = z.astype(jnp.float32) + jnp.einsum(
             "dbh,dhgk->dbgk", h.astype(compute_dtype), Uc,
             preferred_element_type=jnp.float32,
         )
@@ -146,7 +149,10 @@ def _recurrent_scan(
         o = hard_sigmoid(gates[:, :, 3])
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
-        return (h_new, c_new), h_new
+        # Carries stay f32 for recurrence stability; the emitted output
+        # stream is compute-dtype (it feeds the next layer's matmul and
+        # halves the dominant (T, D, B, H) activation buffer).
+        return (h_new, c_new), h_new.astype(compute_dtype)
 
     h0 = jnp.zeros((D, B, H), jnp.float32)
     c0 = jnp.zeros((D, B, H), jnp.float32)
@@ -165,25 +171,39 @@ def bilstm_layer(
     train: bool = False,
     compute_dtype=jnp.bfloat16,
     unroll: int = 8,
+    remat: bool = False,
 ) -> jax.Array:
     """Bidirectional LSTM, merge_mode='concat': (B, T, F) -> (B, T, 2H).
 
     ``params`` comes from :func:`init_bilstm_params` (direction-stacked).
+
+    ``remat=True`` rematerializes the layer in the backward pass: the
+    (D, B, T, 4, H) gate projection is recomputed from the small
+    (B, T, F) input instead of being saved, dropping peak activation
+    memory from all-layers-resident to one-layer-resident. This is the
+    standard TPU memory/FLOPs trade for long-sequence RNNs
+    (SURVEY.md §5.7); an extra input matmul in backward costs far less
+    than the HBM it frees.
     """
     if train and dropout > 0.0 and rng is None:
         raise ValueError("dropout requires an rng key in train mode")
 
-    # Direction axis: slot 0 sees x, slot 1 sees time-reversed x.
-    x2 = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, F)
-    xp = _input_projection(
-        x2, params["W"], params["b"],
-        rng=rng, dropout=dropout, per_gate=per_gate, train=train,
-        compute_dtype=compute_dtype,
-    )
-    hs = _recurrent_scan(xp, params["U"], compute_dtype, unroll)
-    fwd = hs[0]
-    bwd = jnp.flip(hs[1], axis=1)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+    def core(params, x):
+        # Direction axis: slot 0 sees x, slot 1 sees time-reversed x.
+        x2 = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, F)
+        xp = _input_projection(
+            x2, params["W"], params["b"],
+            rng=rng, dropout=dropout, per_gate=per_gate, train=train,
+            compute_dtype=compute_dtype,
+        )
+        hs = _recurrent_scan(xp, params["U"], compute_dtype, unroll)
+        fwd = hs[0]
+        bwd = jnp.flip(hs[1], axis=1)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+    if remat:
+        core = jax.checkpoint(core)
+    return core(params, x)
 
 
 def lstm_layer(
