@@ -26,17 +26,20 @@ def test_frame_count_and_shapes():
 
 
 def test_static_ordering_c0_last():
-    # HTK MFCC_0: columns are c1..c12 then C0. C0 tracks overall energy,
-    # so scaling the signal changes column 12 but not the spectral shape
-    # columns much.
-    sig = _tone(300)
+    # HTK MFCC_0: columns are c1..c12 then C0. With loud white noise
+    # every filter clears the HTK floor, so scaling the signal shifts
+    # ONLY C0 (by sqrt(2/N)*N*ln(k)) and leaves c1..c12 unchanged —
+    # the log-gain lands entirely in the DC term.
+    rng = np.random.default_rng(0)
+    sig = (1000.0 * rng.standard_normal(8000)).astype(np.float32)
+    k = 4.0
     a = np.asarray(mfcc.static_mfcc(jnp.asarray(sig), CFG))
-    b = np.asarray(mfcc.static_mfcc(jnp.asarray(4.0 * sig), CFG))
-    # C0 (last column) rises with energy (many filters sit at the HTK
-    # floor for a pure tone, so the shift is fractional, not ln(16)).
-    assert (b[:, 12] - a[:, 12]).mean() > 0.5
-    # c1..c12 nearly unchanged (log scaling cancels in the DCT AC terms)
-    np.testing.assert_allclose(b[5:-5, :12], a[5:-5, :12], atol=0.2)
+    b = np.asarray(mfcc.static_mfcc(jnp.asarray(k * sig), CFG))
+    want_shift = np.sqrt(2.0 / 26.0) * 26.0 * np.log(k)
+    np.testing.assert_allclose(
+        (b[:, 12] - a[:, 12]).mean(), want_shift, rtol=1e-3
+    )
+    np.testing.assert_allclose(b[:, :12], a[:, :12], atol=1e-3)
 
 
 def test_different_tones_separate():
