@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_SEQS_PER_SEC = 1.5
-BATCH = 32
+BATCH = 128  # fits HBM with the fused Pallas recurrence + bf16 activations
 WARMUP_STEPS = 2
 TIMED_STEPS = 10
 

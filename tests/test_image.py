@@ -10,8 +10,9 @@ def test_upper_body_box_margins_and_clipping():
     hip = jnp.asarray([[300.0, 350.0]])
     shc = jnp.asarray([[310.0, 100.0]])
     box = np.asarray(image.upper_body_box(hip, shc))[0]
-    # up=shcY-120, down=hipY+120, left=hipX-180, right=hipX+180
-    np.testing.assert_allclose(box, [100 - 120 + 0, 470, 120, 480], atol=0)
+    # up=shcY-120 (clipped to >=1), down=hipY+120, left=hipX-180,
+    # right=hipX+180
+    np.testing.assert_allclose(box, [1, 470, 120, 480], atol=0)
     # clipping snaps into [1, dim-1]
     box2 = np.asarray(
         image.upper_body_box(jnp.asarray([[630.0, 470.0]]),
