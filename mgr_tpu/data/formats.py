@@ -72,11 +72,21 @@ def list_audio_files(data_dir: str | os.PathLike) -> List[int]:
 
 
 def load_audio_file_csv(path: str | os.PathLike) -> np.ndarray:
-    """One per-file audio CSV -> (T, 39) float32 feature matrix."""
-    df = pd.read_csv(path)
-    drop = [c for c in ("file_number", "39", "40") if c in df.columns]
-    df = df.drop(columns=drop)
-    x = df.to_numpy(dtype=np.float32)
+    """One per-file audio CSV -> (T, 39) float32 feature matrix.
+
+    Parses the numeric body with the native fastcsv library when
+    available (mgr_tpu/native/fastcsv.cpp) — this is the highest-count
+    load in the corpus (one file per utterance)."""
+    from mgr_tpu.data import fastcsv
+
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+    keep = [
+        i for i, name in enumerate(header)
+        if name not in ("file_number", "39", "40")
+    ]
+    mat = fastcsv.load_numeric_csv(str(path), skip_header=True)
+    x = np.ascontiguousarray(mat[:, keep], dtype=np.float32)
     if x.shape[1] != NUM_AUDIO_FEATS:
         raise ValueError(
             f"{path}: expected {NUM_AUDIO_FEATS} feature cols, got {x.shape[1]}"
