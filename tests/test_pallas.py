@@ -71,3 +71,92 @@ def test_bilstm_layer_with_pallas_backend():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas CTC vs the XLA phi/emit scan (values + gradients).
+# ---------------------------------------------------------------------------
+
+from mgr_tpu.ops import ctc as ctc_lib
+
+
+def _ctc_case(seed, B=3, T=14, K=6, N=5):
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((B, T, K)).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    lab_len = rng.integers(1, N + 1, size=B)
+    in_len = rng.integers(2 * N + 1, T + 1, size=B)
+    labels = np.full((B, N), -1, np.int32)
+    for b in range(B):
+        labels[b, : lab_len[b]] = rng.integers(0, K - 1, size=lab_len[b])
+    return (jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(in_len),
+            jnp.asarray(lab_len))
+
+
+def test_pallas_ctc_matches_xla_values():
+    lp, labels, in_len, lab_len = _ctc_case(0)
+    want = ctc_lib.ctc_loss(lp, labels, in_len, lab_len, backend="xla")
+    got = pk.pallas_ctc_loss(lp, labels, in_len, lab_len, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pallas_ctc_repeats_blank_label_and_empty():
+    B, T, K, N = 3, 12, 5, 4
+    rng = np.random.default_rng(1)
+    lp = jnp.asarray(np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T, K)).astype(np.float32)), -1
+    )))
+    labels = jnp.asarray(
+        np.array([[2, 2, 2, -1], [K - 1, -1, -1, -1], [0, 0, 0, 0]],
+                 np.int32)
+    )
+    lab_len = jnp.asarray([3, 1, 0])
+    in_len = jnp.asarray([12, 10, 8])
+    want = ctc_lib.ctc_loss(lp, labels, in_len, lab_len, backend="xla")
+    got = pk.pallas_ctc_loss(lp, labels, in_len, lab_len, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pallas_ctc_gradients_match_xla():
+    lp, labels, in_len, lab_len = _ctc_case(2)
+
+    def loss_xla(lp):
+        return ctc_lib.ctc_loss(
+            lp, labels, in_len, lab_len, backend="xla"
+        ).sum()
+
+    def loss_pal(lp):
+        return pk.pallas_ctc_loss(
+            lp, labels, in_len, lab_len, interpret=True
+        ).sum()
+
+    g_xla = np.asarray(jax.grad(loss_xla)(lp))
+    g_pal = np.asarray(jax.grad(loss_pal)(lp))
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_ctc_grad_through_logits_chain():
+    # End-to-end: logits -> log_softmax -> pallas ctc; grads finite and
+    # match the xla chain.
+    lp, labels, in_len, lab_len = _ctc_case(3, B=2, T=10, K=5, N=3)
+    logits = lp * 2.0  # arbitrary pre-softmax tensor
+
+    def chain(backend):
+        def f(lg):
+            lsp = jax.nn.log_softmax(lg, axis=-1)
+            if backend == "xla":
+                return ctc_lib.ctc_loss(
+                    lsp, labels, in_len, lab_len, backend="xla"
+                ).mean()
+            return pk.pallas_ctc_loss(
+                lsp, labels, in_len, lab_len, interpret=True
+            ).mean()
+        return f
+
+    g_xla = np.asarray(jax.grad(chain("xla"))(logits))
+    g_pal = np.asarray(jax.grad(chain("pallas"))(logits))
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-3, atol=1e-5)
