@@ -153,7 +153,6 @@ def cmd_decode(args) -> int:
     from mgr_tpu.decode.decoder import MLF_FILENAMES
     from mgr_tpu.models import build_model
     from mgr_tpu.train.loop import load_params_for_eval
-    from mgr_tpu.train.step import make_predict_step
 
     # Decode with the exact config the pipeline trained under.
     cfg = ckpt_lib.load_config(args.workdir, args.pipeline)
@@ -165,8 +164,7 @@ def cmd_decode(args) -> int:
     else:
         model = build_model(cfg)
     params = load_params_for_eval(model, args.workdir, slot=args.slot)
-    predict = make_predict_step(model)
-    dec = Decoder(lambda inputs: predict(params, inputs), args.pipeline)
+    dec = Decoder.for_model(model, params, args.pipeline)
     results = dec.decode_batches(
         data.epoch(cfg.batch_size, train=False),
         use_lengths=args.true_lengths,

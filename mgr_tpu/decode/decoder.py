@@ -75,18 +75,26 @@ def decode_probs(
 class Decoder:
     """Batched decoder for one pipeline.
 
-    ``predict_fn(inputs) -> (B, T, C) softmax probs`` is typically the
-    jitted :func:`mgr_tpu.train.make_predict_step` partial-applied with
-    trained params.
+    Two operation modes:
+      * ``decode_fn(inputs, input_lengths|None) -> (best, emit)`` — the
+        fused on-device path (mgr_tpu.train.make_decode_step): only the
+        int argmax + emit mask cross the host boundary. Preferred.
+      * ``predict_fn(inputs) -> (B, T, C) softmax probs`` — the
+        reference-shaped path (sub-model posteriors fetched to host,
+        sequence_decoding.py:104-111), kept for probe/debug use.
     """
 
     def __init__(
         self,
-        predict_fn: Callable[..., np.ndarray],
-        pipeline: str,
+        predict_fn: Optional[Callable[..., np.ndarray]] = None,
+        pipeline: str = "speech",
         spec: Optional[DecodeSpec] = None,
+        decode_fn: Optional[Callable[..., tuple]] = None,
     ):
+        if predict_fn is None and decode_fn is None:
+            raise ValueError("need predict_fn or decode_fn")
         self.predict_fn = predict_fn
+        self.decode_fn = decode_fn
         self.pipeline = pipeline
         self.spec = spec or DECODE_SPECS[pipeline]
 
@@ -109,13 +117,38 @@ class Decoder:
                 if "inputs2" in batch
                 else batch["inputs"]
             )
-            probs = np.asarray(self.predict_fn(inputs))
             lengths = (
                 np.asarray(batch["input_length"]) if use_lengths else None
             )
-            seqs = decode_probs(probs, self.spec, lengths)
+            if self.decode_fn is not None:
+                best, emit = self.decode_fn(inputs, lengths)
+                id_seqs = emitted_sequences(np.asarray(best),
+                                            np.asarray(emit))
+                seqs = [
+                    vocab_lib.ids_to_tokens(s, self.spec.vocab)
+                    for s in id_seqs
+                ]
+            else:
+                probs = np.asarray(self.predict_fn(inputs))
+                seqs = decode_probs(probs, self.spec, lengths)
             results.extend(zip(file_ids, seqs))
         return results
+
+    @staticmethod
+    def for_model(model, params, pipeline: str,
+                  spec: Optional[DecodeSpec] = None) -> "Decoder":
+        """Build a Decoder on the fused on-device decode step."""
+        from mgr_tpu.train.step import make_decode_step
+
+        s = spec or DECODE_SPECS[pipeline]
+        step = make_decode_step(
+            model, threshold=s.threshold, trim_frames=s.trim_frames,
+            drop_blank=s.drop_blank,
+        )
+        return Decoder(
+            pipeline=pipeline, spec=s,
+            decode_fn=lambda inputs, lengths: step(params, inputs, lengths),
+        )
 
     def write_mlf(
         self,

@@ -116,3 +116,28 @@ def make_predict_step(model: ModelDef):
         return jax.nn.softmax(logits, axis=-1)
 
     return jax.jit(step)
+
+
+def make_decode_step(model: ModelDef, *, threshold: float,
+                     trim_frames: int = 2, drop_blank: bool = False):
+    """Fused on-device predict + best-path decode.
+
+    Returns step(params, inputs, input_lengths|None) -> (best, emit):
+    (B, T') int32 argmax classes and the boolean emit mask. Fetching
+    these (a few hundred KB) instead of the (B, T, C) float posteriors
+    (tens of MB) keeps decoding compute-bound — the full-probs path is
+    host-transfer-bound on remote-attached TPUs."""
+    from mgr_tpu.ops.decoding import best_path_decode
+
+    cfg = model.config
+
+    def step(params: Params, inputs, input_lengths=None):
+        logits = model.apply(params, inputs, train=False, rng=None)
+        probs = jax.nn.softmax(logits, axis=-1)
+        blank = cfg.nb_classes - 1 if drop_blank else None
+        return best_path_decode(
+            probs, input_lengths,
+            threshold=threshold, trim_frames=trim_frames, blank=blank,
+        )
+
+    return jax.jit(step, static_argnames=())

@@ -127,3 +127,42 @@ def test_ignore_list_filtered_from_mlf(tmp_path):
     d.write_mlf(str(out), results)
     back = mlf.read_mlf(out)
     assert list(back) == ["Sample00005"]
+
+
+def test_fused_decoder_matches_probs_path():
+    """Decoder.for_model (on-device argmax+emit) == posterior-fetch path."""
+    import jax
+    from mgr_tpu.core import config as cfglib
+    from mgr_tpu.models import build_model
+    from mgr_tpu.train.step import make_predict_step
+
+    cfg = cfglib.get_preset("skeletal").replace(
+        maxlen=20, num_feats=4, nb_classes=6, max_label_len=4,
+        compute_dtype="float32",
+        encoder=cfglib.EncoderConfig(hidden=4, depth=2, input_noise=0.0,
+                                     dropout=(0.0, 0.0),
+                                     output_dropout=0.0),
+    )
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    spec = decoder.DecodeSpec(0.2, vocab.GESTURE_CODES, trim_frames=2)
+
+    batch = {
+        "inputs": np.asarray(
+            jax.random.normal(jax.random.key(1), (2, 20, 4))
+        ),
+        "input_length": np.array([18, 18]),
+        "labels": np.zeros((2, 4), np.int32),
+        "label_length": np.array([1, 1]),
+    }
+    batches = [((7, 9), batch)]
+
+    fused = decoder.Decoder.for_model(model, params, "skeletal", spec)
+    got = fused.decode_batches(iter(batches))
+
+    predict = make_predict_step(model)
+    probs_path = decoder.Decoder(
+        lambda inputs: predict(params, inputs), "skeletal", spec
+    )
+    want = probs_path.decode_batches(iter(batches))
+    assert got == want
