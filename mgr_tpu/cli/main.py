@@ -195,6 +195,25 @@ def cmd_prepare_skeletal(args) -> int:
     return 0
 
 
+def cmd_prepare_audio(args) -> int:
+    from mgr_tpu.data.audio_pipeline import extract_directory
+
+    ids = extract_directory(args.wav_dir, args.out_dir)
+    print(json.dumps({"files": len(ids)}))
+    return 0
+
+
+def cmd_prepare_rgb(args) -> int:
+    from mgr_tpu.data.rgb_pipeline import extract_directory
+
+    ids = extract_directory(
+        args.video_dir, args.skeletal_dir, args.out_dir,
+        out_dim=args.img_dim,
+    )
+    print(json.dumps({"videos": len(ids)}))
+    return 0
+
+
 def cmd_mix(args) -> int:
     from mgr_tpu.data.mixer import mix_all
 
@@ -276,6 +295,22 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--split-at", type=int, default=None,
                     help="file id boundary (reference uses 403)")
     pk.set_defaults(fn=cmd_prepare_skeletal)
+
+    pa = sub.add_parser("prepare-audio",
+                        help="WAVs -> 39-d MFCC per-file CSVs (replaces "
+                             "HTK HCopy)")
+    pa.add_argument("--wav-dir", required=True)
+    pa.add_argument("--out-dir", required=True)
+    pa.set_defaults(fn=cmd_prepare_audio)
+
+    pr = sub.add_parser("prepare-rgb",
+                        help="videos + raw Kinect CSVs -> cropped "
+                             "upper-body (T,60,60,1) .npy")
+    pr.add_argument("--video-dir", required=True)
+    pr.add_argument("--skeletal-dir", required=True)
+    pr.add_argument("--out-dir", required=True)
+    pr.add_argument("--img-dim", type=int, default=60)
+    pr.set_defaults(fn=cmd_prepare_rgb)
 
     pm = sub.add_parser("mix", help="move N val files into training "
                                     "across all streams")

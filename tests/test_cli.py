@@ -175,3 +175,67 @@ def test_prepare_skeletal_command(tmp_path, capsys):
     from mgr_tpu.data.formats import SKELETAL_FEATURES
 
     assert list(train_df.columns) == list(SKELETAL_FEATURES) + ["file_number"]
+
+
+def test_prepare_audio_command(tmp_path, capsys):
+    import wave as wave_mod
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for fid in (3, 8):
+        samples = (3000 * rng.standard_normal(16000)).astype(np.int16)
+        with wave_mod.open(str(wav_dir / f"Sample{fid:05d}_audio.wav"),
+                           "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(samples.tobytes())
+
+    out_dir = str(tmp_path / "feat")
+    rc = cli_main([
+        "prepare-audio", "--wav-dir", str(wav_dir), "--out-dir", out_dir,
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["files"] == 2
+
+    from mgr_tpu.data import formats
+
+    feats = formats.load_audio_file_csv(os.path.join(out_dir, "audio_3.csv"))
+    # 1 s @ 25ms/10ms -> 98 frames, 39 features
+    assert feats.shape == (98, 39)
+    assert np.isfinite(feats).all()
+
+
+def test_prepare_rgb_command(tmp_path, capsys):
+    import pandas as pd
+
+    from mgr_tpu.data.skeletal_pipeline import KINECT_COLUMNS
+
+    video_dir = tmp_path / "vids"
+    skel_dir = tmp_path / "skel"
+    video_dir.mkdir()
+    skel_dir.mkdir()
+    rng = np.random.default_rng(0)
+    T = 6
+    for fid in (2,):
+        frames = rng.integers(0, 256, size=(T, 480, 640)).astype(np.uint8)
+        np.save(video_dir / f"Sample{fid:05d}_color.npy", frames)
+        cols = {"frame": np.arange(T)}
+        for col in KINECT_COLUMNS:
+            cols[col] = [f"[{320 + i} {240 + i}]" for i in range(T)]
+        pd.DataFrame(cols).to_csv(skel_dir / f"Sample{fid:05d}_skel.csv",
+                                  index=False)
+
+    out_dir = str(tmp_path / "rois")
+    rc = cli_main([
+        "prepare-rgb", "--video-dir", str(video_dir),
+        "--skeletal-dir", str(skel_dir), "--out-dir", out_dir,
+        "--img-dim", "60",
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["videos"] == 1
+    out = np.load(os.path.join(out_dir, "Sample00002_color.npy"))
+    assert out.shape == (T, 60, 60, 1)
