@@ -337,8 +337,13 @@ def pallas_recurrent_scan(
 # for the training hot path: profiling on v5e showed the 1898-step CTC
 # scan costing ~200 ms/step at B=128 — 15x the whole Pallas BLSTM stack —
 # because each scan iteration is a tiny (B, 2N+1) vector op drowned in
-# loop overhead. Here the whole recursion is one sequential-grid kernel:
-# carries in VMEM scratch, one (1, B, Np) VMEM block streamed per step.
+# loop overhead.
+#
+# Kernel shape: a sequential grid over TIME CHUNKS of CTC_TIME_CHUNK
+# steps; each grid step streams a (K, B, Np) block and walks its K rows
+# with an in-kernel fori_loop, so the per-step pipeline overhead (block
+# switch + DMA handshake) amortizes K-fold. Carries live in VMEM
+# scratch across grid steps.
 #
 # State packing: one lane-padded buffer of width Np >= N+1 holds both
 # chains; emission scores live in cols 0..N-1, the blank (phi) score in
@@ -348,125 +353,70 @@ def pallas_recurrent_scan(
 # ===========================================================================
 
 _CTC_NEG = -1.0e5
+CTC_TIME_CHUNK = 16
 
 
 def _ctc_fwd_kernel(lp_ref, skip_ref, len_ref, out_a_ref, out_p_ref,
                     a_scr, p_scr, *, n_labels: int):
-    t = pl.program_id(0)
-    B, Np = a_scr.shape
+    c = pl.program_id(0)
+    K, B, Np = lp_ref.shape
 
     col = jax.lax.broadcasted_iota(jnp.int32, (B, Np), 1)
 
-    @pl.when(t == 0)
+    @pl.when(c == 0)
     def _init():
         a_scr[...] = jnp.full((B, Np), _CTC_NEG, jnp.float32)
         p_scr[...] = jnp.where(col == 0, 0.0, _CTC_NEG)
 
-    a = a_scr[...]
-    p = p_scr[...]
-    lp = lp_ref[0]
-    lpb = lp[:, n_labels : n_labels + 1]  # blank scores, (B, 1)
+    skip = skip_ref[...]
+    lens = len_ref[...]
 
-    shift_a = jnp.where(col == 0, _CTC_NEG, pltpu.roll(a, 1, axis=1))
-    sa = shift_a + skip_ref[...]
-    y_pre_emit = jnp.logaddexp(jnp.logaddexp(a, p), sa)
-    new_a = y_pre_emit + lp
+    def body(k, carry):
+        a, p = carry
+        t = c * K + k
+        lp = lp_ref[k]
+        lpb = lp[:, n_labels : n_labels + 1]  # blank scores, (B, 1)
 
-    y_pre_phi = jnp.logaddexp(p, shift_a)
-    new_p = y_pre_phi + lpb
+        shift_a = jnp.where(col == 0, _CTC_NEG, pltpu.roll(a, 1, axis=1))
+        sa = shift_a + skip
+        y_pre_emit = jnp.logaddexp(jnp.logaddexp(a, p), sa)
+        new_a = y_pre_emit + lp
 
-    valid = t < len_ref[...]
-    a_next = jnp.where(valid, new_a, a)
-    p_next = jnp.where(valid, new_p, p)
-    a_scr[...] = a_next
-    p_scr[...] = p_next
-    out_a_ref[0] = a_next
-    out_p_ref[0] = p_next
+        y_pre_phi = jnp.logaddexp(p, shift_a)
+        new_p = y_pre_phi + lpb
 
+        valid = t < lens
+        a_next = jnp.where(valid, new_a, a)
+        p_next = jnp.where(valid, new_p, p)
+        out_a_ref[k] = a_next
+        out_p_ref[k] = p_next
+        return (a_next, p_next)
 
-def _ctc_bwd_kernel(lp_ref, pa_ref, pp_ref, ca_ref, cp_ref, skip_ref,
-                    len_ref, ga_ref, gp_ref, dlp_ref, da_scr, dp_scr,
-                    *, n_labels: int):
-    rev = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = T - 1 - rev
-    B, Np = da_scr.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, Np), 1)
-
-    @pl.when(rev == 0)
-    def _init():
-        da_scr[...] = ga_ref[...]
-        dp_scr[...] = gp_ref[...]
-
-    da_next = da_scr[...]
-    dp_next = dp_scr[...]
-
-    is_t0 = t == 0
-    a_prev = jnp.where(
-        is_t0, jnp.full((B, Np), _CTC_NEG, jnp.float32), pa_ref[0]
-    )
-    p_prev = jnp.where(
-        is_t0, jnp.where(col == 0, 0.0, _CTC_NEG), pp_ref[0]
-    )
-    lp = lp_ref[0]
-    lpb = lp[:, n_labels : n_labels + 1]
-
-    shift_a = jnp.where(col == 0, _CTC_NEG, pltpu.roll(a_prev, 1, axis=1))
-    sa = shift_a + skip_ref[...]
-    # LSE outputs recovered from the saved post-update streams.
-    y_pre_emit = ca_ref[0] - lp
-    y_pre_phi = cp_ref[0] - lpb
-
-    w_a = jnp.exp(a_prev - y_pre_emit)
-    w_p = jnp.exp(p_prev - y_pre_emit)
-    w_sa = jnp.exp(sa - y_pre_emit)
-
-    da_prev = da_next * w_a
-    dp_prev = da_next * w_p
-    dsa = da_next * w_sa
-    # adjoint of the right-shift: scatter back one column left.
-    # left-roll = right-roll by Np-1 (pltpu.roll requires shift >= 0)
-    da_prev = da_prev + jnp.where(
-        col == Np - 1, 0.0, pltpu.roll(dsa, Np - 1, axis=1)
-    )
-
-    w_pp = jnp.exp(p_prev - y_pre_phi)
-    w_es = jnp.exp(shift_a - y_pre_phi)
-    dp_prev = dp_prev + dp_next * w_pp
-    des = dp_next * w_es
-    da_prev = da_prev + jnp.where(
-        col == Np - 1, 0.0, pltpu.roll(des, Np - 1, axis=1)
-    )
-
-    # d lp: emission cols get da_next; the blank col gets the summed phi
-    # adjoint (lpb broadcasts over all phi columns).
-    dlpb = jnp.sum(dp_next, axis=1, keepdims=True)
-    dlp = jnp.where(col == n_labels, dlpb, da_next)
-
-    valid = t < len_ref[...]
-    da_scr[...] = jnp.where(valid, da_prev, da_next)
-    dp_scr[...] = jnp.where(valid, dp_prev, dp_next)
-    dlp_ref[0] = jnp.where(valid, dlp, 0.0)
+    a, p = jax.lax.fori_loop(0, K, body, (a_scr[...], p_scr[...]))
+    a_scr[...] = a
+    p_scr[...] = p
 
 
 def _ctc_pallas_fwd(lp_full, skip_pen, len_tile, n_labels, interpret):
-    T, B, Np = lp_full.shape
+    """lp_full (Tp, B, Np) with Tp a multiple of CTC_TIME_CHUNK."""
+    Tp, B, Np = lp_full.shape
+    K = CTC_TIME_CHUNK
     kern = functools.partial(_ctc_fwd_kernel, n_labels=n_labels)
     out_a, out_p = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(Tp // K,),
         in_specs=[
-            pl.BlockSpec((1, B, Np), lambda t: (t, 0, 0),
+            pl.BlockSpec((K, B, Np), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, Np), lambda t: (0, 0),
+            pl.BlockSpec((B, Np), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, Np), lambda t: (0, 0),
+            pl.BlockSpec((B, Np), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, Np), lambda t: (t, 0, 0),
+            pl.BlockSpec((K, B, Np), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Np), lambda t: (t, 0, 0),
+            pl.BlockSpec((K, B, Np), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -474,52 +424,141 @@ def _ctc_pallas_fwd(lp_full, skip_pen, len_tile, n_labels, interpret):
             pltpu.VMEM((B, Np), jnp.float32),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, Np), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, Np), jnp.float32),
         ],
         interpret=interpret,
     )(lp_full, skip_pen, len_tile)
     return out_a, out_p
 
 
+def _ctc_bwd_kernel(lp_ref, a_ref, aprev_ref, p_ref, pprev_ref, skip_ref,
+                    len_ref, ga_ref, gp_ref, dlp_ref, da_scr, dp_scr,
+                    *, n_labels: int):
+    """Reverse chunk. a_ref row k = alpha AFTER step t = chunk*K + k;
+    aprev_ref's single row = alpha after the previous chunk's last step
+    (the pre-state of this chunk's step 0; garbage for chunk 0, where
+    is_t0 masks it to the initial alphas)."""
+    rc = pl.program_id(0)
+    C = pl.num_programs(0)
+    K, B, Np = dlp_ref.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Np), 1)
+
+    @pl.when(rc == 0)
+    def _init():
+        da_scr[...] = ga_ref[...]
+        dp_scr[...] = gp_ref[...]
+
+    skip = skip_ref[...]
+    lens = len_ref[...]
+    chunk = C - 1 - rc
+
+    init_a = jnp.full((B, Np), _CTC_NEG, jnp.float32)
+    init_p = jnp.where(col == 0, 0.0, _CTC_NEG)
+
+    def body(i, carry):
+        da_next, dp_next = carry
+        k = K - 1 - i
+        t = chunk * K + k
+
+        km1 = jnp.maximum(k - 1, 0)
+        a_in = jnp.where(k == 0, aprev_ref[0], a_ref[km1])
+        p_in = jnp.where(k == 0, pprev_ref[0], p_ref[km1])
+        is_t0 = t == 0
+        a_prev = jnp.where(is_t0, init_a, a_in)
+        p_prev = jnp.where(is_t0, init_p, p_in)
+        a_cur = a_ref[k]
+        p_cur = p_ref[k]
+        lp = lp_ref[k]
+        lpb = lp[:, n_labels : n_labels + 1]
+
+        shift_a = jnp.where(
+            col == 0, _CTC_NEG, pltpu.roll(a_prev, 1, axis=1)
+        )
+        sa = shift_a + skip
+        y_pre_emit = a_cur - lp
+        y_pre_phi = p_cur - lpb
+
+        w_a = jnp.exp(a_prev - y_pre_emit)
+        w_p = jnp.exp(p_prev - y_pre_emit)
+        w_sa = jnp.exp(sa - y_pre_emit)
+
+        da_prev = da_next * w_a
+        dp_prev = da_next * w_p
+        dsa = da_next * w_sa
+        # adjoint of the right-shift: scatter one column left
+        # (left-roll = right-roll by Np-1; pltpu.roll needs shift >= 0).
+        da_prev = da_prev + jnp.where(
+            col == Np - 1, 0.0, pltpu.roll(dsa, Np - 1, axis=1)
+        )
+
+        w_pp = jnp.exp(p_prev - y_pre_phi)
+        w_es = jnp.exp(shift_a - y_pre_phi)
+        dp_prev = dp_prev + dp_next * w_pp
+        des = dp_next * w_es
+        da_prev = da_prev + jnp.where(
+            col == Np - 1, 0.0, pltpu.roll(des, Np - 1, axis=1)
+        )
+
+        dlpb = jnp.sum(dp_next, axis=1, keepdims=True)
+        dlp = jnp.where(col == n_labels, dlpb, da_next)
+
+        valid = t < lens
+        dlp_ref[k] = jnp.where(valid, dlp, 0.0)
+        return (
+            jnp.where(valid, da_prev, da_next),
+            jnp.where(valid, dp_prev, dp_next),
+        )
+
+    da, dp = jax.lax.fori_loop(0, K, body, (da_scr[...], dp_scr[...]))
+    da_scr[...] = da
+    dp_scr[...] = dp
+
+
 def _ctc_pallas_bwd(lp_full, out_a, out_p, skip_pen, len_tile, ga, gp,
                     n_labels, interpret):
-    T, B, Np = lp_full.shape
+    Tp, B, Np = lp_full.shape
+    K = CTC_TIME_CHUNK
+    C = Tp // K
 
-    def rev(t):
-        return (T - 1 - t, 0, 0)
+    def rev(c):
+        return (C - 1 - c, 0, 0)
 
-    def rev_prev(t):
-        return (jnp.maximum(T - 1 - t - 1, 0), 0, 0)
+    def rev_prev_row(c):
+        # single-row block: block index == element row. Row before this
+        # chunk's first step; clamped to 0 for chunk 0 (masked by is_t0).
+        return (jnp.maximum((C - 1 - c) * K - 1, 0), 0, 0)
 
-    def fixed(t):
+    def fixed(c):
         return (0, 0)
 
     kern = functools.partial(_ctc_bwd_kernel, n_labels=n_labels)
     (dlp,) = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(C,),
         in_specs=[
-            pl.BlockSpec((1, B, Np), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Np), rev_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Np), rev_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Np), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, Np), rev_prev_row,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, Np), rev_prev_row,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Np), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Np), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Np), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Np), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, Np), rev, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, Np), jnp.float32),
             pltpu.VMEM((B, Np), jnp.float32),
         ],
-        out_shape=[jax.ShapeDtypeStruct((T, B, Np), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((Tp, B, Np), jnp.float32)],
         interpret=interpret,
-    )(lp_full, out_a, out_p, out_a, out_p, skip_pen, len_tile, ga, gp)
+    )(lp_full, out_a, out_a, out_p, out_p, skip_pen, len_tile, ga, gp)
     return dlp
 
 
@@ -562,7 +601,7 @@ def _ctc_alpha_loss_fwd(lp_full, skip_pen, len_tile, label_lengths,
 def _ctc_alpha_loss_bwd(n_labels, interpret, res, dloss):
     (lp_full, skip_pen, len_tile, label_lengths, out_a, out_p,
      phi_end, emit_end, logp) = res
-    T, B, Np = lp_full.shape
+    Tp, B, Np = lp_full.shape
     ll = label_lengths.astype(jnp.int32)
     # d loss_b / d phi_end = -exp(phi_end - logp); same for emit_end.
     g_phi = -dloss * jnp.exp(phi_end - logp)  # (B,)
@@ -600,7 +639,9 @@ def pallas_ctc_loss(
     Same contract as mgr_tpu.ops.ctc.ctc_loss: (B, T, K) log-probs,
     -1-padded labels, per-sequence lengths, blank defaults to K-1.
     Differentiable w.r.t. ``log_probs`` via the custom VJP; the
-    emission gather/scatter is one MXU einsum outside the kernel.
+    emission gather/scatter is one MXU einsum outside the kernel. Time
+    is padded to a multiple of CTC_TIME_CHUNK (padded frames are inert:
+    the valid mask freezes the carries there).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -621,6 +662,9 @@ def pallas_ctc_loss(
     lp_full = jnp.concatenate(
         [lp_emit, lp_phi[:, :, None], pad_tail], axis=2
     )
+    Tp = _round_up(T, CTC_TIME_CHUNK)
+    if Tp != T:
+        lp_full = jnp.pad(lp_full, ((0, Tp - T), (0, 0), (0, 0)))
 
     same = labels_s[:, 1:] == labels_s[:, :-1]  # (B, N-1)
     skip_core = jnp.concatenate(
