@@ -128,12 +128,22 @@ class Batcher:
         *,
         train: bool = True,
         shuffle_seed: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> Iterator[Tuple[List[int], Dict[str, np.ndarray]]]:
-        """Yields (file_ids, batch) covering the split once."""
+        """Yields (file_ids, batch) covering the split once.
+
+        Multi-host: every process shuffles identically (same seed) and
+        takes a strided slice of the batch stream, so each host feeds
+        its local devices a disjoint shard — the per-host data loading
+        the reference never needed (SURVEY.md §2.3)."""
         ids = list(self.train_ids if train else self.val_ids)
         if shuffle_seed is not None:
             random.Random(shuffle_seed).shuffle(ids)
-        for i in range(0, len(ids) - batch_size + 1, batch_size):
+        starts = range(0, len(ids) - batch_size + 1, batch_size)
+        for j, i in enumerate(starts):
+            if j % process_count != process_index:
+                continue
             chunk = ids[i : i + batch_size]
             rows = [self._row_of[f] for f in chunk]
             yield chunk, self._batch_from_rows(rows)
