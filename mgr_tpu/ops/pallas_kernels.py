@@ -55,67 +55,84 @@ def _interpret_default() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel.
+# Forward kernel: sequential grid over time chunks; the recurrent weights
+# stay VMEM-resident, carries live in scratch, and each chunk's K steps
+# run in an in-kernel fori_loop so block-pipeline overhead amortizes.
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xp_ref, u_ref, hs_ref, cs_ref, h_scr, c_scr):
-    """One time step for all D directions.
+LSTM_CHUNK_FWD = 4
+LSTM_CHUNK_BWD = 1  # K=2 overruns VMEM by ~1.4MB at B=128/Hp=512
 
-    xp_ref: (1, D, B, 4Hp) bf16 — this step's gate projection block
+
+def _fwd_kernel(xp_ref, u_ref, hs_ref, cs_ref, h_scr, c_scr):
+    """One K-step chunk for all D directions.
+
+    xp_ref: (K, D, B, 4Hp) bf16 — gate projections for this chunk
     u_ref:  (D, Hp, 4Hp) bf16 — recurrent weights, VMEM-resident
-    hs_ref/cs_ref: (1, D, B, Hp) bf16 outputs
+    hs_ref/cs_ref: (K, D, B, Hp) bf16 outputs
     h_scr/c_scr: (D, B, Hp) f32 carries
     """
-    t = pl.program_id(0)
+    c = pl.program_id(0)
+    K = xp_ref.shape[0]
+    D = u_ref.shape[0]
+    Hp = u_ref.shape[1]
 
-    @pl.when(t == 0)
+    @pl.when(c == 0)
     def _init():
         h_scr[...] = jnp.zeros_like(h_scr)
         c_scr[...] = jnp.zeros_like(c_scr)
 
-    D = u_ref.shape[0]
-    Hp = u_ref.shape[1]
-    for d in range(D):  # D is static (2)
-        z = xp_ref[0, d].astype(jnp.float32) + jnp.dot(
-            h_scr[d].astype(jnp.bfloat16), u_ref[d],
-            preferred_element_type=jnp.float32,
-        )
-        i = jnp.clip(0.2 * z[:, 0 * Hp : 1 * Hp] + 0.5, 0.0, 1.0)
-        f = jnp.clip(0.2 * z[:, 1 * Hp : 2 * Hp] + 0.5, 0.0, 1.0)
-        g = jnp.tanh(z[:, 2 * Hp : 3 * Hp])
-        o = jnp.clip(0.2 * z[:, 3 * Hp : 4 * Hp] + 0.5, 0.0, 1.0)
-        c_new = f * c_scr[d] + i * g
-        h_new = o * jnp.tanh(c_new)
-        h_scr[d] = h_new
-        c_scr[d] = c_new
-        hs_ref[0, d] = h_new.astype(hs_ref.dtype)
-        cs_ref[0, d] = c_new.astype(cs_ref.dtype)
+    def body(k, carry):
+        h, cc = carry  # (D, B, Hp) f32 each
+        hs_list = []
+        cs_list = []
+        for d in range(D):  # D is static (2)
+            z = xp_ref[k, d].astype(jnp.float32) + jnp.dot(
+                h[d].astype(jnp.bfloat16), u_ref[d],
+                preferred_element_type=jnp.float32,
+            )
+            i = jnp.clip(0.2 * z[:, 0 * Hp : 1 * Hp] + 0.5, 0.0, 1.0)
+            f = jnp.clip(0.2 * z[:, 1 * Hp : 2 * Hp] + 0.5, 0.0, 1.0)
+            g = jnp.tanh(z[:, 2 * Hp : 3 * Hp])
+            o = jnp.clip(0.2 * z[:, 3 * Hp : 4 * Hp] + 0.5, 0.0, 1.0)
+            c_new = f * cc[d] + i * g
+            h_new = o * jnp.tanh(c_new)
+            hs_ref[k, d] = h_new.astype(hs_ref.dtype)
+            cs_ref[k, d] = c_new.astype(cs_ref.dtype)
+            hs_list.append(h_new)
+            cs_list.append(c_new)
+        return jnp.stack(hs_list), jnp.stack(cs_list)
+
+    h, cc = jax.lax.fori_loop(0, K, body, (h_scr[...], c_scr[...]))
+    h_scr[...] = h
+    c_scr[...] = cc
 
 
 def _lstm_scan_fwd_call(
     xp: jax.Array, U: jax.Array, interpret: bool
 ) -> Tuple[jax.Array, jax.Array]:
-    """xp (T, D, B, 4Hp) bf16, U (D, Hp, 4Hp) bf16 -> hs, cs (T, D, B, Hp)."""
-    T, D, B, H4 = xp.shape
+    """xp (Tp, D, B, 4Hp) bf16 (Tp divisible by LSTM_CHUNK_FWD),
+    U (D, Hp, 4Hp) bf16 -> hs, cs (Tp, D, B, Hp)."""
+    Tp, D, B, H4 = xp.shape
     Hp = H4 // 4
-    grid = (T,)
+    K = LSTM_CHUNK_FWD
     out_shape = [
-        jax.ShapeDtypeStruct((T, D, B, Hp), jnp.bfloat16),
-        jax.ShapeDtypeStruct((T, D, B, Hp), jnp.bfloat16),
+        jax.ShapeDtypeStruct((Tp, D, B, Hp), jnp.bfloat16),
+        jax.ShapeDtypeStruct((Tp, D, B, Hp), jnp.bfloat16),
     ]
     hs, cs = pl.pallas_call(
         _fwd_kernel,
-        grid=grid,
+        grid=(Tp // K,),
         in_specs=[
-            pl.BlockSpec((1, D, B, H4), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((K, D, B, H4), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, Hp, H4), lambda t: (0, 0, 0),
+            pl.BlockSpec((D, Hp, H4), lambda c: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, D, B, Hp), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((K, D, B, Hp), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, Hp), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((K, D, B, Hp), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -125,141 +142,159 @@ def _lstm_scan_fwd_call(
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * D * B * Hp * H4,
-            bytes_accessed=(xp.size + 2 * T * D * B * Hp) * 2 + U.size * 2,
-            transcendentals=2 * T * D * B * Hp,
+            flops=2 * Tp * D * B * Hp * H4,
+            bytes_accessed=(xp.size + 2 * Tp * D * B * Hp) * 2 + U.size * 2,
+            transcendentals=2 * Tp * D * B * Hp,
         ),
     )(xp, U)
     return hs, cs
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel (reverse time grid).
+# Backward kernel (reverse chunk grid).
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(
-    xp_ref, hprev_ref, cs_ref, cprev_ref, dhs_ref, u_ref, ut_ref,
+    xp_ref, hs_ref, hsprev_ref, cs_ref, csprev_ref, dhs_ref, u_ref,
     dz_ref, dh_scr, dc_scr,
 ):
-    """Reverse step. All refs indexed at logical time t = T-1-rev.
+    """Reverse chunk. hs_ref row k = h AFTER step t = chunk*K + k;
+    hsprev_ref is the previous chunk's block (its last row is the
+    pre-state of this chunk's step 0; masked to zeros at t=0). The
+    recurrent gradients contract dz against U along its OUTPUT (4Hp)
+    axis via dot_general, so no transposed copy of U is needed."""
+    rc = pl.program_id(0)
+    C = pl.num_programs(0)
+    K = dz_ref.shape[0]
+    D = u_ref.shape[0]
+    Hp = u_ref.shape[1]
 
-    xp_ref:    (1, D, B, 4Hp) this step's projection (to recompute gates)
-    hprev_ref: (1, D, B, Hp)  h_{t-1} (zeros block at t=0, see index map)
-    cs_ref:    (1, D, B, Hp)  c_t
-    cprev_ref: (1, D, B, Hp)  c_{t-1}
-    dhs_ref:   (1, D, B, Hp)  upstream grad on h_t
-    u_ref:     (D, Hp, 4Hp)   weights
-    ut_ref:    (D, 4Hp, Hp)   weights transposed
-    dz_ref:    (1, D, B, 4Hp) OUT gradient w.r.t. gate projection
-    dh_scr/dc_scr: (D, B, Hp) f32 carried grads
-    """
-    rev = pl.program_id(0)
-    T = pl.num_programs(0)
-
-    @pl.when(rev == 0)
+    @pl.when(rc == 0)
     def _init():
         dh_scr[...] = jnp.zeros_like(dh_scr)
         dc_scr[...] = jnp.zeros_like(dc_scr)
 
-    D = u_ref.shape[0]
-    Hp = u_ref.shape[1]
-    is_first_step = rev == T - 1  # logical t == 0
+    chunk = C - 1 - rc
 
-    for d in range(D):
-        h_prev = jnp.where(
-            is_first_step, 0.0, hprev_ref[0, d].astype(jnp.float32)
-        )
-        c_prev = jnp.where(
-            is_first_step, 0.0, cprev_ref[0, d].astype(jnp.float32)
-        )
-        # Recompute gate pre-activations.
-        z = xp_ref[0, d].astype(jnp.float32) + jnp.dot(
-            h_prev.astype(jnp.bfloat16), u_ref[d],
-            preferred_element_type=jnp.float32,
-        )
-        z_i = z[:, 0 * Hp : 1 * Hp]
-        z_f = z[:, 1 * Hp : 2 * Hp]
-        z_g = z[:, 2 * Hp : 3 * Hp]
-        z_o = z[:, 3 * Hp : 4 * Hp]
-        i = jnp.clip(0.2 * z_i + 0.5, 0.0, 1.0)
-        f = jnp.clip(0.2 * z_f + 0.5, 0.0, 1.0)
-        g = jnp.tanh(z_g)
-        o = jnp.clip(0.2 * z_o + 0.5, 0.0, 1.0)
+    def body(i, carry):
+        dh_c, dc_c = carry  # (D, B, Hp) f32
+        k = K - 1 - i
+        t = chunk * K + k
+        is_t0 = t == 0
+        km1 = jnp.maximum(k - 1, 0)
 
-        c_t = cs_ref[0, d].astype(jnp.float32)
-        tanh_c = jnp.tanh(c_t)
+        dh_out = []
+        dc_out = []
+        for d in range(D):
+            h_prev_blk = jnp.where(
+                k == 0, hsprev_ref[K - 1, d], hs_ref[km1, d]
+            )
+            c_prev_blk = jnp.where(
+                k == 0, csprev_ref[K - 1, d], cs_ref[km1, d]
+            )
+            h_prev = jnp.where(is_t0, 0.0, h_prev_blk.astype(jnp.float32))
+            c_prev = jnp.where(is_t0, 0.0, c_prev_blk.astype(jnp.float32))
+            # Recompute gate pre-activations.
+            z = xp_ref[k, d].astype(jnp.float32) + jnp.dot(
+                h_prev.astype(jnp.bfloat16), u_ref[d],
+                preferred_element_type=jnp.float32,
+            )
+            z_i = z[:, 0 * Hp : 1 * Hp]
+            z_f = z[:, 1 * Hp : 2 * Hp]
+            z_g = z[:, 2 * Hp : 3 * Hp]
+            z_o = z[:, 3 * Hp : 4 * Hp]
+            i_g = jnp.clip(0.2 * z_i + 0.5, 0.0, 1.0)
+            f_g = jnp.clip(0.2 * z_f + 0.5, 0.0, 1.0)
+            g_g = jnp.tanh(z_g)
+            o_g = jnp.clip(0.2 * z_o + 0.5, 0.0, 1.0)
 
-        dh = dhs_ref[0, d].astype(jnp.float32) + dh_scr[d]
-        do = dh * tanh_c
-        dc = dc_scr[d] + dh * o * (1.0 - tanh_c * tanh_c)
-        di = dc * g
-        df = dc * c_prev
-        dg = dc * i
+            c_t = cs_ref[k, d].astype(jnp.float32)
+            tanh_c = jnp.tanh(c_t)
 
-        def hs_grad(zx):
-            # d/dx clip(0.2x+0.5, 0, 1) = 0.2 inside (-2.5, 2.5)
-            return jnp.where((zx > -2.5) & (zx < 2.5), 0.2, 0.0)
+            dh = dhs_ref[k, d].astype(jnp.float32) + dh_c[d]
+            do = dh * tanh_c
+            dc = dc_c[d] + dh * o_g * (1.0 - tanh_c * tanh_c)
+            di = dc * g_g
+            df = dc * c_prev
+            dg = dc * i_g
 
-        dz_i = di * hs_grad(z_i)
-        dz_f = df * hs_grad(z_f)
-        dz_g = dg * (1.0 - g * g)
-        dz_o = do * hs_grad(z_o)
-        dz = jnp.concatenate([dz_i, dz_f, dz_g, dz_o], axis=1)
-        dz_ref[0, d] = dz.astype(dz_ref.dtype)
+            def hs_grad(zx):
+                # d/dx clip(0.2x+0.5, 0, 1) = 0.2 inside (-2.5, 2.5)
+                return jnp.where((zx > -2.5) & (zx < 2.5), 0.2, 0.0)
 
-        dh_scr[d] = jnp.dot(
-            dz.astype(jnp.bfloat16), ut_ref[d],
-            preferred_element_type=jnp.float32,
-        )
-        dc_scr[d] = dc * f
+            dz = jnp.concatenate(
+                [
+                    di * hs_grad(z_i),
+                    df * hs_grad(z_f),
+                    dg * (1.0 - g_g * g_g),
+                    do * hs_grad(z_o),
+                ],
+                axis=1,
+            )
+            dz_ref[k, d] = dz.astype(dz_ref.dtype)
+
+            # dh_prev = dz @ U^T, contracted on U's output axis.
+            dh_out.append(
+                jax.lax.dot_general(
+                    dz.astype(jnp.bfloat16), u_ref[d],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            dc_out.append(dc * f_g)
+        return jnp.stack(dh_out), jnp.stack(dc_out)
+
+    dh, dc = jax.lax.fori_loop(0, K, body, (dh_scr[...], dc_scr[...]))
+    dh_scr[...] = dh
+    dc_scr[...] = dc
 
 
 def _lstm_scan_bwd_call(
     xp: jax.Array, hs: jax.Array, cs: jax.Array, dhs: jax.Array,
     U: jax.Array, interpret: bool,
 ) -> jax.Array:
-    """Returns dz (T, D, B, 4Hp) f32-accurate bf16."""
-    T, D, B, H4 = xp.shape
+    """Returns dz (Tp, D, B, 4Hp) bf16."""
+    Tp, D, B, H4 = xp.shape
     Hp = H4 // 4
-    Ut = jnp.swapaxes(U, 1, 2)  # (D, 4Hp, Hp)
+    K = LSTM_CHUNK_BWD
+    C = Tp // K
 
-    def rev(t):
-        return (T - 1 - t, 0, 0, 0)
+    def rev(c):
+        return (C - 1 - c, 0, 0, 0)
 
-    def rev_prev(t):
-        # h_{t-1}/c_{t-1}: block at logical index t-1; clamp t=0 to block 0
-        # (the kernel masks it to zeros via is_first_step).
-        return (jnp.maximum(T - 1 - t - 1, 0), 0, 0, 0)
+    def rev_prev_chunk(c):
+        return (jnp.maximum(C - 1 - c - 1, 0), 0, 0, 0)
 
     (dz,) = pl.pallas_call(
         _bwd_kernel,
-        grid=(T,),
+        grid=(C,),
         in_specs=[
-            pl.BlockSpec((1, D, B, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, Hp), rev_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, Hp), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, Hp), rev_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, Hp), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, Hp, H4), lambda t: (0, 0, 0),
+            pl.BlockSpec((K, D, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, Hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, Hp), rev_prev_chunk,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H4, Hp), lambda t: (0, 0, 0),
+            pl.BlockSpec((K, D, B, Hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, Hp), rev_prev_chunk,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, Hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Hp, H4), lambda c: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, D, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, H4), rev, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((D, B, Hp), jnp.float32),
             pltpu.VMEM((D, B, Hp), jnp.float32),
         ],
-        out_shape=[jax.ShapeDtypeStruct((T, D, B, H4), jnp.bfloat16)],
+        out_shape=[jax.ShapeDtypeStruct((Tp, D, B, H4), jnp.bfloat16)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * T * D * B * Hp * H4,
-            bytes_accessed=(2 * xp.size + 4 * T * D * B * Hp) * 2,
-            transcendentals=2 * T * D * B * Hp,
+            flops=4 * Tp * D * B * Hp * H4,
+            bytes_accessed=(2 * xp.size + 4 * Tp * D * B * Hp) * 2,
+            transcendentals=2 * Tp * D * B * Hp,
         ),
-    )(xp, hs, cs, cs, dhs, U, Ut)
+    )(xp, hs, hs, cs, cs, dhs, U)
     return dz
 
 
@@ -305,27 +340,33 @@ def pallas_recurrent_scan(
     U:  (D, H, 4, H) recurrent weights
     -> h stream (D, B, T, H) float32.
 
-    Pads H to a multiple of 128 lanes, runs the fused kernels, slices
-    back. Differentiable w.r.t. both arguments via the custom VJP.
+    Pads H to a multiple of 128 lanes and T to a multiple of the chunk
+    sizes (padded steps carry zero projections, whose outputs are
+    sliced off and whose gradients vanish), runs the fused kernels, and
+    slices back. Differentiable w.r.t. both arguments via the custom
+    VJP.
     """
     if interpret is None:
         interpret = _interpret_default()
     D, B, T, _, H = xp.shape
     Hp = _round_up(H, LANE)
     pad = Hp - H
+    Tp = _round_up(T, max(LSTM_CHUNK_FWD, LSTM_CHUNK_BWD))
 
     if pad:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad)))
         U = jnp.pad(U, ((0, 0), (0, pad), (0, 0), (0, pad)))
 
-    # (D, B, T, 4, Hp) -> time-major fused-gate (T, D, B, 4Hp)
+    # (D, B, T, 4, Hp) -> time-major fused-gate (Tp, D, B, 4Hp)
     xp_tm = jnp.moveaxis(xp, 2, 0).reshape(T, D, B, 4 * Hp)
+    if Tp != T:
+        xp_tm = jnp.pad(xp_tm, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
     U_f = U.reshape(D, Hp, 4 * Hp)
 
     hs = _scan_core(
         xp_tm.astype(jnp.bfloat16), U_f.astype(jnp.bfloat16), interpret
-    )  # (T, D, B, Hp)
-    hs = jnp.moveaxis(hs, 0, 2)  # (D, B, T, Hp)
+    )  # (Tp, D, B, Hp)
+    hs = jnp.moveaxis(hs[:T], 0, 2)  # (D, B, T, Hp)
     if pad:
         hs = hs[..., :H]
     return hs
@@ -353,13 +394,16 @@ def pallas_recurrent_scan(
 # ===========================================================================
 
 _CTC_NEG = -1.0e5
-CTC_TIME_CHUNK = 16
+# 8 steps/block: the backward kernel streams three (B, K, Np) f32 blocks
+# plus the output block, double-buffered — K=16 at B=128/Np=256 overruns
+# the 16 MB VMEM budget, K=8 fits with headroom.
+CTC_TIME_CHUNK = 8
 
 
 def _ctc_fwd_kernel(lp_ref, skip_ref, len_ref, out_a_ref, out_p_ref,
                     a_scr, p_scr, *, n_labels: int):
     c = pl.program_id(0)
-    K, B, Np = lp_ref.shape
+    B, K, Np = lp_ref.shape
 
     col = jax.lax.broadcasted_iota(jnp.int32, (B, Np), 1)
 
@@ -374,7 +418,7 @@ def _ctc_fwd_kernel(lp_ref, skip_ref, len_ref, out_a_ref, out_p_ref,
     def body(k, carry):
         a, p = carry
         t = c * K + k
-        lp = lp_ref[k]
+        lp = lp_ref[:, k]
         lpb = lp[:, n_labels : n_labels + 1]  # blank scores, (B, 1)
 
         shift_a = jnp.where(col == 0, _CTC_NEG, pltpu.roll(a, 1, axis=1))
@@ -388,8 +432,8 @@ def _ctc_fwd_kernel(lp_ref, skip_ref, len_ref, out_a_ref, out_p_ref,
         valid = t < lens
         a_next = jnp.where(valid, new_a, a)
         p_next = jnp.where(valid, new_p, p)
-        out_a_ref[k] = a_next
-        out_p_ref[k] = p_next
+        out_a_ref[:, k] = a_next
+        out_p_ref[:, k] = p_next
         return (a_next, p_next)
 
     a, p = jax.lax.fori_loop(0, K, body, (a_scr[...], p_scr[...]))
@@ -398,15 +442,20 @@ def _ctc_fwd_kernel(lp_ref, skip_ref, len_ref, out_a_ref, out_p_ref,
 
 
 def _ctc_pallas_fwd(lp_full, skip_pen, len_tile, n_labels, interpret):
-    """lp_full (Tp, B, Np) with Tp a multiple of CTC_TIME_CHUNK."""
-    Tp, B, Np = lp_full.shape
+    """lp_full (B, Tp, Np), Tp a multiple of CTC_TIME_CHUNK.
+
+    Batch-major layout end to end: the grid blocks the MIDDLE (time)
+    axis, so neither the packing matmul nor its VJP ever transposes the
+    big activation (a (T,B,N)-major layout pushed XLA into a pathological
+    fused transpose+matmul costing ~170 ms at B=128)."""
+    B, Tp, Np = lp_full.shape
     K = CTC_TIME_CHUNK
     kern = functools.partial(_ctc_fwd_kernel, n_labels=n_labels)
     out_a, out_p = pl.pallas_call(
         kern,
         grid=(Tp // K,),
         in_specs=[
-            pl.BlockSpec((K, B, Np), lambda c: (c, 0, 0),
+            pl.BlockSpec((B, K, Np), lambda c: (0, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Np), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -414,9 +463,9 @@ def _ctc_pallas_fwd(lp_full, skip_pen, len_tile, n_labels, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K, B, Np), lambda c: (c, 0, 0),
+            pl.BlockSpec((B, K, Np), lambda c: (0, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, B, Np), lambda c: (c, 0, 0),
+            pl.BlockSpec((B, K, Np), lambda c: (0, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -424,8 +473,8 @@ def _ctc_pallas_fwd(lp_full, skip_pen, len_tile, n_labels, interpret):
             pltpu.VMEM((B, Np), jnp.float32),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, Np), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B, Tp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B, Tp, Np), jnp.float32),
         ],
         interpret=interpret,
     )(lp_full, skip_pen, len_tile)
@@ -435,13 +484,14 @@ def _ctc_pallas_fwd(lp_full, skip_pen, len_tile, n_labels, interpret):
 def _ctc_bwd_kernel(lp_ref, a_ref, aprev_ref, p_ref, pprev_ref, skip_ref,
                     len_ref, ga_ref, gp_ref, dlp_ref, da_scr, dp_scr,
                     *, n_labels: int):
-    """Reverse chunk. a_ref row k = alpha AFTER step t = chunk*K + k;
-    aprev_ref's single row = alpha after the previous chunk's last step
-    (the pre-state of this chunk's step 0; garbage for chunk 0, where
-    is_t0 masks it to the initial alphas)."""
+    """Reverse chunk. a_ref[:, k] = alpha AFTER step t = chunk*K + k;
+    aprev_ref is the PREVIOUS chunk's block, whose last row is the
+    pre-state of this chunk's step 0 (garbage for chunk 0, where is_t0
+    masks it to the initial alphas). A whole-chunk block is used because
+    TPU tiling forbids single-row blocks on the sublane axis."""
     rc = pl.program_id(0)
     C = pl.num_programs(0)
-    K, B, Np = dlp_ref.shape
+    B, K, Np = dlp_ref.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, Np), 1)
 
     @pl.when(rc == 0)
@@ -462,14 +512,14 @@ def _ctc_bwd_kernel(lp_ref, a_ref, aprev_ref, p_ref, pprev_ref, skip_ref,
         t = chunk * K + k
 
         km1 = jnp.maximum(k - 1, 0)
-        a_in = jnp.where(k == 0, aprev_ref[0], a_ref[km1])
-        p_in = jnp.where(k == 0, pprev_ref[0], p_ref[km1])
+        a_in = jnp.where(k == 0, aprev_ref[:, K - 1], a_ref[:, km1])
+        p_in = jnp.where(k == 0, pprev_ref[:, K - 1], p_ref[:, km1])
         is_t0 = t == 0
         a_prev = jnp.where(is_t0, init_a, a_in)
         p_prev = jnp.where(is_t0, init_p, p_in)
-        a_cur = a_ref[k]
-        p_cur = p_ref[k]
-        lp = lp_ref[k]
+        a_cur = a_ref[:, k]
+        p_cur = p_ref[:, k]
+        lp = lp_ref[:, k]
         lpb = lp[:, n_labels : n_labels + 1]
 
         shift_a = jnp.where(
@@ -504,7 +554,7 @@ def _ctc_bwd_kernel(lp_ref, a_ref, aprev_ref, p_ref, pprev_ref, skip_ref,
         dlp = jnp.where(col == n_labels, dlpb, da_next)
 
         valid = t < lens
-        dlp_ref[k] = jnp.where(valid, dlp, 0.0)
+        dlp_ref[:, k] = jnp.where(valid, dlp, 0.0)
         return (
             jnp.where(valid, da_prev, da_next),
             jnp.where(valid, dp_prev, dp_next),
@@ -517,17 +567,17 @@ def _ctc_bwd_kernel(lp_ref, a_ref, aprev_ref, p_ref, pprev_ref, skip_ref,
 
 def _ctc_pallas_bwd(lp_full, out_a, out_p, skip_pen, len_tile, ga, gp,
                     n_labels, interpret):
-    Tp, B, Np = lp_full.shape
+    B, Tp, Np = lp_full.shape
     K = CTC_TIME_CHUNK
     C = Tp // K
 
     def rev(c):
-        return (C - 1 - c, 0, 0)
+        return (0, C - 1 - c, 0)
 
-    def rev_prev_row(c):
-        # single-row block: block index == element row. Row before this
-        # chunk's first step; clamped to 0 for chunk 0 (masked by is_t0).
-        return (jnp.maximum((C - 1 - c) * K - 1, 0), 0, 0)
+    def rev_prev_chunk(c):
+        # previous chunk's whole block (its last row is this chunk's
+        # pre-state); clamped to chunk 0 for chunk 0 (masked by is_t0).
+        return (0, jnp.maximum(C - 1 - c - 1, 0), 0)
 
     def fixed(c):
         return (0, 0)
@@ -537,12 +587,12 @@ def _ctc_pallas_bwd(lp_full, out_a, out_p, skip_pen, len_tile, ga, gp,
         kern,
         grid=(C,),
         in_specs=[
-            pl.BlockSpec((K, B, Np), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, B, Np), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Np), rev_prev_row,
+            pl.BlockSpec((B, K, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K, Np), rev_prev_chunk,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, B, Np), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Np), rev_prev_row,
+            pl.BlockSpec((B, K, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K, Np), rev_prev_chunk,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Np), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Np), fixed, memory_space=pltpu.VMEM),
@@ -550,13 +600,13 @@ def _ctc_pallas_bwd(lp_full, out_a, out_p, skip_pen, len_tile, ga, gp,
             pl.BlockSpec((B, Np), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K, B, Np), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K, Np), rev, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, Np), jnp.float32),
             pltpu.VMEM((B, Np), jnp.float32),
         ],
-        out_shape=[jax.ShapeDtypeStruct((Tp, B, Np), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, Tp, Np), jnp.float32)],
         interpret=interpret,
     )(lp_full, out_a, out_a, out_p, out_p, skip_pen, len_tile, ga, gp)
     return dlp
@@ -572,10 +622,10 @@ def ctc_alpha_loss(lp_full, skip_pen, len_tile, label_lengths, n_labels,
 
 
 def _ctc_final_loss(out_a, out_p, label_lengths):
-    B = out_a.shape[1]
+    B = out_a.shape[0]
     idx = jnp.arange(B)
-    final_a = out_a[-1]  # (B, Np) — frozen at each sequence's length
-    final_p = out_p[-1]
+    final_a = out_a[:, -1]  # (B, Np) — frozen at each sequence's length
+    final_p = out_p[:, -1]
     ll = label_lengths.astype(jnp.int32)
     phi_end = final_p[idx, ll]
     emit_end = jnp.where(
@@ -601,7 +651,7 @@ def _ctc_alpha_loss_fwd(lp_full, skip_pen, len_tile, label_lengths,
 def _ctc_alpha_loss_bwd(n_labels, interpret, res, dloss):
     (lp_full, skip_pen, len_tile, label_lengths, out_a, out_p,
      phi_end, emit_end, logp) = res
-    Tp, B, Np = lp_full.shape
+    B, Tp, Np = lp_full.shape
     ll = label_lengths.astype(jnp.int32)
     # d loss_b / d phi_end = -exp(phi_end - logp); same for emit_end.
     g_phi = -dloss * jnp.exp(phi_end - logp)  # (B,)
@@ -639,9 +689,10 @@ def pallas_ctc_loss(
     Same contract as mgr_tpu.ops.ctc.ctc_loss: (B, T, K) log-probs,
     -1-padded labels, per-sequence lengths, blank defaults to K-1.
     Differentiable w.r.t. ``log_probs`` via the custom VJP; the
-    emission gather/scatter is one MXU einsum outside the kernel. Time
-    is padded to a multiple of CTC_TIME_CHUNK (padded frames are inert:
-    the valid mask freezes the carries there).
+    emission gather/scatter is one batch-major MXU einsum whose VJP is
+    a clean batched matmul (no transposes of the big activation). Time
+    pads to a multiple of CTC_TIME_CHUNK (padded frames are inert: the
+    valid mask freezes the carries there).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -656,15 +707,15 @@ def pallas_ctc_loss(
 
     Np = _round_up(N + 1, LANE)
     onehot = jax.nn.one_hot(labels_s, K, dtype=jnp.float32)  # (B, N, K)
-    lp_emit = jnp.einsum("btk,bnk->tbn", log_probs, onehot)  # (T, B, N)
-    lp_phi = jnp.moveaxis(log_probs[:, :, blank], 1, 0)  # (T, B)
-    pad_tail = jnp.full((T, B, Np - N - 1), _CTC_NEG, jnp.float32)
+    lp_emit = jnp.einsum("btk,bnk->btn", log_probs, onehot)  # (B, T, N)
+    lp_phi = log_probs[:, :, blank]  # (B, T)
+    pad_tail = jnp.full((B, T, Np - N - 1), _CTC_NEG, jnp.float32)
     lp_full = jnp.concatenate(
         [lp_emit, lp_phi[:, :, None], pad_tail], axis=2
     )
     Tp = _round_up(T, CTC_TIME_CHUNK)
     if Tp != T:
-        lp_full = jnp.pad(lp_full, ((0, Tp - T), (0, 0), (0, 0)))
+        lp_full = jnp.pad(lp_full, ((0, 0), (0, Tp - T), (0, 0)))
 
     same = labels_s[:, 1:] == labels_s[:, :-1]  # (B, N-1)
     skip_core = jnp.concatenate(
