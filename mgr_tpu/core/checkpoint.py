@@ -77,3 +77,51 @@ def load_checkpoint(
 
 def has_checkpoint(workdir: str, stamp: str, slot: str = "latest") -> bool:
     return os.path.exists(_path(workdir, stamp, slot))
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writer for long multi-host runs.
+
+    ``save()`` fetches the state to host synchronously (cheap; device
+    buffers may be donated next step) and hands serialization + the
+    atomic write to a background thread, so the train loop never stalls
+    on disk. ``wait()`` drains pending writes (call before exit and
+    before loading what was just saved). One in-flight write per slot;
+    a newer save for the same slot supersedes a queued one.
+    """
+
+    def __init__(self, workdir: str, stamp: str):
+        import threading
+
+        self.workdir = workdir
+        self.stamp = stamp
+        self._lock = threading.Lock()
+        self._pending: dict = {}
+        self._thread = None
+        self._threading = threading
+
+    def save(self, state: Any, *, slot: str = "latest") -> None:
+        host_state = jax.tree.map(
+            lambda x: jax.device_get(x) if hasattr(x, "device") else x,
+            state,
+        )
+        with self._lock:
+            self._pending[slot] = host_state
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = self._threading.Thread(
+                    target=self._drain, daemon=True
+                )
+                self._thread.start()
+
+    def _drain(self) -> None:
+        while True:
+            with self._lock:
+                if not self._pending:
+                    return
+                slot, host_state = self._pending.popitem()
+            save_checkpoint(self.workdir, self.stamp, host_state, slot=slot)
+
+    def wait(self) -> None:
+        t = self._thread
+        if t is not None:
+            t.join()

@@ -52,6 +52,7 @@ def fit(
     epochs: Optional[int] = None,
     seed: Optional[int] = None,
     metrics: Optional[MetricsLogger] = None,
+    async_checkpoints: bool = False,
 ) -> FitResult:
     cfg = model.config
     stamp = cfg.name
@@ -74,6 +75,18 @@ def fit(
         workdir, stamp,
         num_chips=1 if mesh is None else mesh.devices.size,
     )
+
+    ckpt_writer = None
+    if async_checkpoints and workdir:
+        ckpt_writer = ckpt_lib.AsyncCheckpointer(workdir, stamp)
+
+    def _save(slot: str) -> None:
+        if not workdir:
+            return
+        if ckpt_writer is not None:
+            ckpt_writer.save(state, slot=slot)
+        else:
+            ckpt_lib.save_checkpoint(workdir, stamp, state, slot=slot)
 
     plateau = None
     if cfg.reduce_lr_factor is not None:
@@ -121,15 +134,13 @@ def fit(
         rec = metrics.end_epoch(train_loss, val_loss, lr_scale=lr_scale)
         history.append(rec)
 
-        if workdir:
-            ckpt_lib.save_checkpoint(workdir, stamp, state, slot="latest")
+        _save("latest")
 
         monitored = val_loss if val_loss is not None else train_loss
         if monitored < best_val:
             best_val = monitored
             wait = 0
-            if workdir:
-                ckpt_lib.save_checkpoint(workdir, stamp, state, slot="best")
+            _save("best")
         else:
             wait += 1
             if wait > cfg.patience:
@@ -137,6 +148,8 @@ def fit(
         if plateau is not None and val_loss is not None:
             lr_scale = plateau.update(val_loss)
 
+    if ckpt_writer is not None:
+        ckpt_writer.wait()
     return FitResult(
         state=state, best_val_loss=best_val,
         epochs_run=epoch - start_epoch + 1, history=history,

@@ -92,3 +92,42 @@ def test_checkpoint_state_roundtrip_exact(tmp_path):
 
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpointing(speech_data, tmp_path):
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    model = build_model(cfg)
+    res = fit(model, ds, workdir=str(tmp_path), epochs=2,
+              async_checkpoints=True)
+    assert ckpt_lib.has_checkpoint(str(tmp_path), "speech", "latest")
+    assert ckpt_lib.has_checkpoint(str(tmp_path), "speech", "best")
+    # Restored latest state matches the in-memory final state.
+    import jax
+
+    from mgr_tpu.train.step import create_train_state
+
+    template = create_train_state(model, prng.root_key(1))
+    restored = ckpt_lib.load_checkpoint(str(tmp_path), "speech", template)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(res.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_with_mesh_on_virtual_devices(speech_data, tmp_path):
+    import jax
+
+    if len(jax.devices()) < 8:
+        return
+    from mgr_tpu.core.config import MeshConfig
+    from mgr_tpu.parallel import make_mesh
+
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg(batch_size=4, mesh=MeshConfig(data=4, model=2))
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    model = build_model(cfg)
+    mesh = make_mesh(cfg.mesh)
+    res = fit(model, ds, workdir=str(tmp_path), epochs=2, mesh=mesh)
+    assert np.isfinite(res.best_val_loss)
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"] * 1.5
