@@ -164,11 +164,39 @@ def cmd_decode(args) -> int:
     else:
         model = build_model(cfg)
     params = load_params_for_eval(model, args.workdir, slot=args.slot)
-    dec = Decoder.for_model(model, params, args.pipeline)
-    results = dec.decode_batches(
-        data.epoch(cfg.batch_size, train=False),
-        use_lengths=args.true_lengths,
-    )
+    if args.beam and args.beam > 1:
+        import numpy as np
+
+        from mgr_tpu.data import vocab as vocab_lib
+        from mgr_tpu.decode.beam import beam_decode_batch
+        from mgr_tpu.decode.decoder import DECODE_SPECS
+        from mgr_tpu.train.step import make_predict_step
+
+        spec = DECODE_SPECS[args.pipeline]
+        predict = make_predict_step(model)
+        results = []
+        for ids, batch in data.epoch(cfg.batch_size, train=False):
+            inputs = (
+                (batch["inputs"], batch["inputs2"])
+                if "inputs2" in batch else batch["inputs"]
+            )
+            probs = np.asarray(predict(params, inputs))
+            lengths = batch["input_length"] if args.true_lengths else None
+            seqs = beam_decode_batch(
+                probs, lengths, beam_width=args.beam,
+                trim_frames=spec.trim_frames,
+            )
+            results.extend(
+                (fid, [spec.vocab[i] for i in s])
+                for fid, s in zip(ids, seqs)
+            )
+        dec = Decoder(lambda x: x, args.pipeline)  # for write_mlf only
+    else:
+        dec = Decoder.for_model(model, params, args.pipeline)
+        results = dec.decode_batches(
+            data.epoch(cfg.batch_size, train=False),
+            use_lengths=args.true_lengths,
+        )
     out = args.out or MLF_FILENAMES[args.pipeline]
     dec.write_mlf(out, results)
     print(json.dumps({"decoded": len(results), "mlf": out}))
@@ -278,6 +306,8 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--audio-csv")
     pd.add_argument("--audio-dir")
     pd.add_argument("--true-lengths", action="store_true")
+    pd.add_argument("--beam", type=int, default=0,
+                    help="prefix beam search width (0/1 = best path)")
     pd.set_defaults(fn=cmd_decode)
 
     ps = sub.add_parser("score", help="HTK-style scoring of two MLFs")

@@ -198,30 +198,59 @@ class LazyVideoBatcher(Batcher):
     def _batch_from_rows(self, rows):
         raise NotImplementedError("use epoch(); lazy batcher slices by id")
 
-    def epoch(self, batch_size, *, train=True, shuffle_seed=None):
-        import random as _random
-
+    def _load_batch(self, chunk):
         cfg = self.cfg
+        D = cfg.cnn.img_dim
+        X = np.zeros((len(chunk), cfg.maxlen, D, D, 1), np.float32)
+        rows = [self._row_of[f] for f in chunk]
+        for j, fid in enumerate(chunk):
+            x = formats.load_video_npy(
+                os.path.join(self.data_dir, self._name_of[fid])
+            )
+            X[j], _ = pad_or_truncate(x, cfg.maxlen)
+        X = (X - 128.0) / 255.0
+        return chunk, {
+            "inputs": X,
+            "labels": self.labels[rows],
+            "input_length": self.input_lengths[rows],
+            "label_length": self.label_lengths[rows],
+        }
+
+    def epoch(self, batch_size, *, train=True, shuffle_seed=None,
+              process_index=0, process_count=1, prefetch=2):
+        """Background-prefetched video batches: the host decodes/pads the
+        next batches on a worker thread while the device trains on the
+        current one (the reference loaded every .npy synchronously in
+        the step loop, cnn_lstm.py:146-188)."""
+        import random as _random
+        from concurrent.futures import ThreadPoolExecutor
+
         ids = list(self.train_ids if train else self.val_ids)
         if shuffle_seed is not None:
             _random.Random(shuffle_seed).shuffle(ids)
-        D = cfg.cnn.img_dim
-        for i in range(0, len(ids) - batch_size + 1, batch_size):
-            chunk = ids[i : i + batch_size]
-            X = np.zeros((batch_size, cfg.maxlen, D, D, 1), np.float32)
-            rows = [self._row_of[f] for f in chunk]
-            for j, fid in enumerate(chunk):
-                x = formats.load_video_npy(
-                    os.path.join(self.data_dir, self._name_of[fid])
-                )
-                X[j], _ = pad_or_truncate(x, cfg.maxlen)
-            X = (X - 128.0) / 255.0
-            yield chunk, {
-                "inputs": X,
-                "labels": self.labels[rows],
-                "input_length": self.input_lengths[rows],
-                "label_length": self.label_lengths[rows],
-            }
+        chunks = [
+            ids[i : i + batch_size]
+            for j, i in enumerate(
+                range(0, len(ids) - batch_size + 1, batch_size)
+            )
+            if j % process_count == process_index
+        ]
+        if not chunks:
+            return
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futures = [
+                pool.submit(self._load_batch, c)
+                for c in chunks[: max(prefetch, 1)]
+            ]
+            next_submit = len(futures)
+            for _ in range(len(chunks)):
+                result = futures.pop(0).result()
+                if next_submit < len(chunks):
+                    futures.append(
+                        pool.submit(self._load_batch, chunks[next_submit])
+                    )
+                    next_submit += 1
+                yield result
 
 
 def build_rgb_dataset(
