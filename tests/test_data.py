@@ -179,3 +179,36 @@ def test_epoch_shuffle_changes_order(audio_fixture):
     order1b = [ids for ids, _ in ds.epoch(2, train=True, shuffle_seed=1)]
     assert order1 == order1b
     assert order1 != order2 or len(order1) <= 1
+
+
+def test_labels_pipeline(tmp_path):
+    from mgr_tpu.data import labels_pipeline as lp
+
+    d = tmp_path / "labels"
+    d.mkdir()
+    (d / "Sample00007_data_labels.csv").write_text(
+        "vattene 1 5 1 20\nok 1 25 1 40\n"
+    )
+    (d / "Sample00008_data_labels.csv").write_text("basta 1 3 1 9\n")
+
+    entries = lp.parse_label_file(str(d / "Sample00007_data_labels.csv"))
+    assert entries == [("vattene", 5, 20), ("ok", 25, 40)]
+
+    labs = lp.frame_labels(50, entries)
+    assert labs[5] == 0 and labs[6] == 1 and labs[20] == 1
+    assert labs[21] == 0 and labs[26] == 11 and labs[40] == 11
+    assert labs[41] == 0
+
+    inactive = np.zeros(50)
+    inactive[26:] = 1
+    labs2 = lp.frame_labels(50, entries, inactive)
+    assert labs2[6] == 1 and labs2[30] == 0
+
+    assert lp.sequence_labels(entries) == [1, 11]
+
+    out_csv = str(tmp_path / "training.csv")
+    labels = lp.build_label_csv(str(d), out_csv)
+    assert labels == {7: [1, 11], 8: [13]}
+    from mgr_tpu.data.formats import load_label_csv
+
+    assert load_label_csv(out_csv) == labels
