@@ -203,6 +203,50 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_infer(args) -> int:
+    """Single-utterance inference: one audio CSV / skeletal slice ->
+    decoded tokens on stdout (the serving path)."""
+    import numpy as np
+
+    from mgr_tpu.core import checkpoint as ckpt_lib
+    from mgr_tpu.data import formats
+    from mgr_tpu.data.batcher import pad_or_truncate
+    from mgr_tpu.decode import Decoder
+    from mgr_tpu.models import build_model
+    from mgr_tpu.train.loop import load_params_for_eval
+
+    cfg = ckpt_lib.load_config(args.workdir, args.pipeline)
+    if args.pipeline == "speech":
+        x = formats.load_audio_file_csv(args.input)
+        if cfg.downsample > 1:
+            x = x[:: cfg.downsample]
+    elif args.pipeline == "skeletal":
+        feats = formats.load_skeletal_csv(args.input, normalize=True)
+        x = next(iter(feats.values()))
+    elif args.pipeline == "rgb":
+        x = formats.load_video_npy(args.input)
+        x = (x - 128.0) / 255.0
+    else:
+        raise SystemExit("infer supports speech/skeletal/rgb inputs")
+    padded, true_len = pad_or_truncate(
+        x.astype(np.float32), cfg.maxlen
+    )
+    model = build_model(cfg)
+    params = load_params_for_eval(model, args.workdir, slot=args.slot)
+    dec = Decoder.for_model(model, params, args.pipeline)
+    batch = {
+        "inputs": padded[None],
+        "input_length": np.asarray(
+            [true_len - cfg.ctc.trim_frames], np.int32
+        ),
+    }
+    results = dec.decode_batches(
+        iter([((0,), batch)]), use_lengths=args.true_lengths
+    )
+    print(json.dumps({"tokens": results[0][1]}))
+    return 0
+
+
 def cmd_score(args) -> int:
     from mgr_tpu.decode import read_mlf, score_sequences
 
@@ -309,6 +353,14 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--beam", type=int, default=0,
                     help="prefix beam search width (0/1 = best path)")
     pd.set_defaults(fn=cmd_decode)
+
+    pi = sub.add_parser("infer", help="decode one utterance file")
+    pi.add_argument("pipeline", choices=["speech", "skeletal", "rgb"])
+    pi.add_argument("input", help="audio CSV / skeletal CSV / video npy")
+    pi.add_argument("--workdir", default="runs")
+    pi.add_argument("--slot", default="best", choices=["best", "latest"])
+    pi.add_argument("--true-lengths", action="store_true")
+    pi.set_defaults(fn=cmd_infer)
 
     ps = sub.add_parser("score", help="HTK-style scoring of two MLFs")
     ps.add_argument("refs")

@@ -239,3 +239,30 @@ def test_prepare_rgb_command(tmp_path, capsys):
     assert info["videos"] == 1
     out = np.load(os.path.join(out_dir, "Sample00002_color.npy"))
     assert out.shape == (T, 60, 60, 1)
+
+
+def test_infer_command(corpus, tmp_path, capsys, monkeypatch):
+    # Train the tiny skeletal model then infer on the monolithic CSV.
+    from mgr_tpu.core import config as cfglib
+
+    small = cfglib.get_preset("skeletal").replace(
+        maxlen=32, batch_size=2, compute_dtype="float32",
+        encoder=cfglib.EncoderConfig(hidden=4, depth=2, input_noise=0.1,
+                                     dropout=(0.1, 0.1), output_dropout=0.1),
+    )
+    monkeypatch.setitem(cfglib.PRESETS, "skeletal", lambda: small)
+    workdir = str(tmp_path / "runs")
+    rc = cli_main([
+        "train", "skeletal", "--skeletal-csv", corpus["sk_csv"],
+        "--labels", corpus["sk_labels"], "--workdir", workdir,
+        "--epochs", "1",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli_main([
+        "infer", "skeletal", corpus["sk_csv"], "--workdir", workdir,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "tokens" in out and isinstance(out["tokens"], list)
