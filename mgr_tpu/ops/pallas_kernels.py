@@ -84,13 +84,20 @@ def _fwd_kernel(xp_ref, u_ref, hs_ref, cs_ref, h_scr, c_scr):
 
     def body(k, carry):
         h, cc = carry  # (D, B, Hp) f32 each
-        hs_list = []
-        cs_list = []
-        for d in range(D):  # D is static (2)
-            z = xp_ref[k, d].astype(jnp.float32) + jnp.dot(
+        # Issue BOTH directions' MXU dots before any VPU gate math, so
+        # the matrix unit pipelines dot d=1 while the vector unit chews
+        # gates for d=0 (a per-direction loop serialized them).
+        zs = [
+            xp_ref[k, d].astype(jnp.float32) + jnp.dot(
                 h[d].astype(jnp.bfloat16), u_ref[d],
                 preferred_element_type=jnp.float32,
             )
+            for d in range(D)  # D is static (2)
+        ]
+        hs_list = []
+        cs_list = []
+        for d in range(D):
+            z = zs[d]
             i = jnp.clip(0.2 * z[:, 0 * Hp : 1 * Hp] + 0.5, 0.0, 1.0)
             f = jnp.clip(0.2 * z[:, 1 * Hp : 2 * Hp] + 0.5, 0.0, 1.0)
             g = jnp.tanh(z[:, 2 * Hp : 3 * Hp])
