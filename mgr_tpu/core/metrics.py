@@ -47,6 +47,11 @@ class MetricsLogger:
         self._epoch_seqs += batch_size
         self.log({"kind": "step", "loss": float(loss), **extra})
 
+    def add_seqs(self, n: int) -> None:
+        """Count sequences without a per-step record (the fit loop keeps
+        losses on device and logs once per epoch)."""
+        self._epoch_seqs += n
+
     def end_epoch(
         self, train_loss: float, val_loss: Optional[float] = None,
         **extra: Any,

@@ -122,6 +122,45 @@ class Batcher:
             batch["inputs"] = self.features[rows]
         return batch
 
+    def device_arrays(self) -> Dict[str, np.ndarray]:
+        """The full featurized corpus as one dict of arrays, for
+        device-resident training (upload once, gather batches on-device
+        by row index — no per-step host transfer)."""
+        out = {
+            "labels": self.labels,
+            "input_length": self.input_lengths,
+            "label_length": self.label_lengths,
+        }
+        if isinstance(self.features, tuple):
+            out["inputs"] = self.features[0]
+            out["inputs2"] = self.features[1]
+        else:
+            out["inputs"] = self.features
+        return out
+
+    def epoch_indices(
+        self,
+        batch_size: int,
+        *,
+        train: bool = True,
+        shuffle_seed: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
+    ) -> Iterator[Tuple[List[int], np.ndarray]]:
+        """Like :meth:`epoch` but yields (file_ids, row-index array)
+        instead of materialized batches — the device-resident path."""
+        ids = list(self.train_ids if train else self.val_ids)
+        if shuffle_seed is not None:
+            random.Random(shuffle_seed).shuffle(ids)
+        starts = range(0, len(ids) - batch_size + 1, batch_size)
+        for j, i in enumerate(starts):
+            if j % process_count != process_index:
+                continue
+            chunk = ids[i : i + batch_size]
+            yield chunk, np.asarray(
+                [self._row_of[f] for f in chunk], np.int32
+            )
+
     def epoch(
         self,
         batch_size: int,

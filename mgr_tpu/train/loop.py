@@ -53,7 +53,14 @@ def fit(
     seed: Optional[int] = None,
     metrics: Optional[MetricsLogger] = None,
     async_checkpoints: bool = False,
+    device_data: Optional[bool] = None,
 ) -> FitResult:
+    """Train one pipeline.
+
+    ``device_data`` — upload the whole featurized corpus to HBM once and
+    gather batches on-device by row index (no per-step host transfer).
+    Defaults to on for array-backed datasets on a single device; lazy
+    (video) datasets and mesh runs use the host streaming path."""
     cfg = model.config
     stamp = cfg.name
     epochs = epochs if epochs is not None else cfg.epochs
@@ -69,8 +76,23 @@ def fit(
             params=shard_lib.shard_params(state.params, mesh)
         )
 
-    train_step = make_train_step(model)
-    eval_step = make_eval_step(model)
+    if device_data is None:
+        device_data = mesh is None and getattr(data, "features", None) is not None
+    arrays = None
+    if device_data:
+        import jax.numpy as jnp
+
+        from mgr_tpu.train.step import (
+            make_indexed_eval_step,
+            make_indexed_train_step,
+        )
+
+        arrays = jax.tree.map(jnp.asarray, data.device_arrays())
+        train_step = make_indexed_train_step(model)
+        eval_step = make_indexed_eval_step(model)
+    else:
+        train_step = make_train_step(model)
+        eval_step = make_eval_step(model)
     metrics = metrics or MetricsLogger(
         workdir, stamp,
         num_chips=1 if mesh is None else mesh.devices.size,
@@ -104,34 +126,68 @@ def fit(
         data.num_batches(cfg.batch_size, train=True), 1
     )
 
+    import jax.numpy as jnp
+
+    # step counter must advance deterministically for the rng fold; the
+    # per-step host sync (float(loss)) is deliberately absent — losses
+    # stay on device and reduce to ONE fetch per epoch, keeping the
+    # device pipeline full (a per-step sync stalls remote-attached TPUs).
+    host_step = int(state.step)
     epoch = start_epoch
     for epoch in range(start_epoch, epochs):
         metrics.start_epoch(epoch)
         losses = []
-        for step_i, (_, batch) in enumerate(
-            data.epoch(cfg.batch_size, train=True, shuffle_seed=seed + epoch)
-        ):
-            if mesh is not None:
-                batch = shard_lib.shard_batch(batch, mesh)
-            rng = jax.random.fold_in(data_key, int(state.step))
-            state, m = train_step(state, batch, rng, lr_scale)
-            losses.append(m["loss"])
-            metrics.step(
-                float(m["loss"]), cfg.batch_size,
-                grad_norm=float(m["grad_norm"]),
+        gnorms = []
+        n_seqs = 0
+        if device_data:
+            batches = (
+                (ids, jnp.asarray(idx))
+                for ids, idx in data.epoch_indices(
+                    cfg.batch_size, train=True, shuffle_seed=seed + epoch
+                )
             )
-        train_loss = float(np.mean([float(l) for l in losses])) if losses \
-            else float("nan")
+        else:
+            batches = data.epoch(
+                cfg.batch_size, train=True, shuffle_seed=seed + epoch
+            )
+        for _, payload in batches:
+            rng = jax.random.fold_in(data_key, host_step)
+            host_step += 1
+            if device_data:
+                state, m = train_step(state, arrays, payload, rng, lr_scale)
+            else:
+                if mesh is not None:
+                    payload = shard_lib.shard_batch(payload, mesh)
+                state, m = train_step(state, payload, rng, lr_scale)
+            losses.append(m["loss"])
+            gnorms.append(m["grad_norm"])
+            n_seqs += cfg.batch_size
+        if losses:
+            train_loss = float(jnp.stack(losses).mean())
+            grad_norm = float(jnp.stack(gnorms).mean())
+        else:
+            train_loss, grad_norm = float("nan"), float("nan")
+        metrics.add_seqs(n_seqs)
 
         # Validation pass (no dropout/noise).
         val_losses = []
-        for _, batch in data.epoch(cfg.batch_size, train=False):
-            if mesh is not None:
-                batch = shard_lib.shard_batch(batch, mesh)
-            val_losses.append(float(eval_step(state.params, batch)))
-        val_loss = float(np.mean(val_losses)) if val_losses else None
+        if device_data:
+            for _, idx in data.epoch_indices(cfg.batch_size, train=False):
+                val_losses.append(
+                    eval_step(state.params, arrays, jnp.asarray(idx))
+                )
+        else:
+            for _, batch in data.epoch(cfg.batch_size, train=False):
+                if mesh is not None:
+                    batch = shard_lib.shard_batch(batch, mesh)
+                val_losses.append(eval_step(state.params, batch))
+        val_loss = (
+            float(jnp.stack(val_losses).mean()) if val_losses else None
+        )
 
-        rec = metrics.end_epoch(train_loss, val_loss, lr_scale=lr_scale)
+        rec = metrics.end_epoch(
+            train_loss, val_loss, lr_scale=lr_scale, grad_norm=grad_norm
+        )
         history.append(rec)
 
         _save("latest")
