@@ -144,3 +144,63 @@ def test_lr_scale_zero_freezes_everything():
         jax.tree.leaves(jax.tree.map(np.asarray, new_state.params)),
     ):
         np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_indexed_steps_match_host_batch_path():
+    """Device-resident (gather-by-index) steps == host-batch steps."""
+    import jax.numpy as jnp
+
+    from mgr_tpu.train.step import (
+        make_indexed_eval_step,
+        make_indexed_train_step,
+    )
+
+    cfg = _tiny_speech()
+    model = build_model(cfg)
+    N = 6
+    k1, k2 = jax.random.split(jax.random.key(5))
+    data = {
+        "inputs": jax.random.normal(k1, (N, cfg.maxlen, cfg.num_feats)),
+        "labels": jax.random.randint(
+            k2, (N, cfg.max_label_len), 0, cfg.nb_classes - 1
+        ).astype(jnp.int32),
+        "input_length": jnp.full((N,), cfg.maxlen - 2, jnp.int32),
+        "label_length": jnp.full((N,), cfg.max_label_len, jnp.int32),
+    }
+    idx = jnp.asarray([4, 1, 3, 0], jnp.int32)
+    host_batch = {k: np.asarray(v)[np.asarray(idx)] for k, v in data.items()}
+    host_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    s1 = create_train_state(model, jax.random.key(0))
+    s2 = create_train_state(model, jax.random.key(0))
+    rng = jax.random.key(9)
+
+    step_h = make_train_step(model)
+    step_i = make_indexed_train_step(model)
+    s1, m1 = step_h(s1, host_batch, rng, 1.0)
+    s2, m2 = step_i(s2, data, idx, rng, 1.0)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    ev_h = make_eval_step(model)
+    ev_i = make_indexed_eval_step(model)
+    np.testing.assert_allclose(
+        float(ev_h(s1.params, host_batch)),
+        float(ev_i(s2.params, data, idx)), rtol=1e-6,
+    )
+
+
+def test_epoch_indices_matches_epoch():
+    from mgr_tpu.data.batcher import Batcher
+
+    N = 8
+    feats = np.arange(N * 4 * 2, dtype=np.float32).reshape(N, 4, 2)
+    b = Batcher(feats, np.zeros((N, 3), np.int32), np.ones(N, np.int32),
+                np.full(N, 4, np.int32), list(range(N)), list(range(N)), [])
+    got = list(b.epoch_indices(2, shuffle_seed=3))
+    want = list(b.epoch(2, shuffle_seed=3))
+    assert [ids for ids, _ in got] == [ids for ids, _ in want]
+    for (_, idx), (_, batch) in zip(got, want):
+        np.testing.assert_array_equal(feats[idx], batch["inputs"])
