@@ -256,6 +256,33 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Decode a split and score it against the dataset's own labels in
+    one step (no MLF round-trip)."""
+    from mgr_tpu.core import checkpoint as ckpt_lib
+    from mgr_tpu.decode.evaluate import evaluate_accuracy
+    from mgr_tpu.models import build_model
+    from mgr_tpu.train.loop import load_params_for_eval
+
+    cfg = ckpt_lib.load_config(args.workdir, args.pipeline)
+    data = _build_dataset(args.pipeline, cfg, args, mode=args.dataset)
+    if args.pipeline == "late_fusion":
+        from mgr_tpu.train.curriculum import build_fusion_with_pretrained
+
+        model, _ = build_fusion_with_pretrained(args.workdir, cfg)
+    else:
+        model = build_model(cfg)
+    params = load_params_for_eval(model, args.workdir, slot=args.slot)
+    metrics = evaluate_accuracy(
+        model, params, data,
+        pipeline=args.pipeline,
+        train_split=args.split == "train",
+        use_lengths=args.true_lengths,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_prepare_skeletal(args) -> int:
     from mgr_tpu.data.skeletal_pipeline import extract_directory
 
@@ -353,6 +380,25 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--beam", type=int, default=0,
                     help="prefix beam search width (0/1 = best path)")
     pd.set_defaults(fn=cmd_decode)
+
+    pe = sub.add_parser("evaluate",
+                        help="decode a split and score it in-framework")
+    pe.add_argument("pipeline", choices=[
+        "speech", "skeletal", "rgb", "early_fusion", "late_fusion"
+    ])
+    pe.add_argument("--workdir", default="runs")
+    pe.add_argument("--dataset", default="train",
+                    choices=["train", "val", "final"])
+    pe.add_argument("--split", default="val", choices=["train", "val"],
+                    help="which side of the split to score (dataset=train)")
+    pe.add_argument("--slot", default="best", choices=["best", "latest"])
+    pe.add_argument("--data-dir")
+    pe.add_argument("--labels")
+    pe.add_argument("--skeletal-csv")
+    pe.add_argument("--audio-csv")
+    pe.add_argument("--audio-dir")
+    pe.add_argument("--true-lengths", action="store_true")
+    pe.set_defaults(fn=cmd_evaluate)
 
     pi = sub.add_parser("infer", help="decode one utterance file")
     pi.add_argument("pipeline", choices=["speech", "skeletal", "rgb"])

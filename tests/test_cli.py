@@ -266,3 +266,41 @@ def test_infer_command(corpus, tmp_path, capsys, monkeypatch):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "tokens" in out and isinstance(out["tokens"], list)
+
+
+def test_evaluate_command(corpus, tmp_path, capsys, monkeypatch):
+    from mgr_tpu.core import config as cfglib
+
+    small = cfglib.get_preset("skeletal").replace(
+        maxlen=32, batch_size=2, compute_dtype="float32",
+        encoder=cfglib.EncoderConfig(hidden=4, depth=2, input_noise=0.1,
+                                     dropout=(0.1, 0.1), output_dropout=0.1),
+    )
+    monkeypatch.setitem(cfglib.PRESETS, "skeletal", lambda: small)
+    workdir = str(tmp_path / "runs")
+    cli_main([
+        "train", "skeletal", "--skeletal-csv", corpus["sk_csv"],
+        "--labels", corpus["sk_labels"], "--workdir", workdir,
+        "--epochs", "1",
+    ])
+    capsys.readouterr()
+    rc = cli_main([
+        "evaluate", "skeletal", "--workdir", workdir,
+        "--skeletal-csv", corpus["sk_csv"],
+        "--labels", corpus["sk_labels"],
+        "--split", "train", "--true-lengths",
+    ])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"accuracy", "wer", "corr"} <= set(m)
+
+
+def test_long_name_alias_imports():
+    import multimodal_gesture_recognition_with_lstms_and_ctc_tpu as alias
+
+    assert alias.__version__
+    from multimodal_gesture_recognition_with_lstms_and_ctc_tpu.core import (
+        config,
+    )
+
+    assert config.get_preset("speech").nb_classes == 44
