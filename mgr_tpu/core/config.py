@@ -23,17 +23,24 @@ from typing import Any, Dict, Optional, Tuple
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh layout. Axes: data (DP), model (TP), time (SP, reserved)."""
+    """Device-mesh layout.
+
+    Axes: data (DP, batch), model (TP, LSTM hidden blocks), time (SP —
+    the time axis of inputs/projections shards for the pointwise and
+    conv stages; XLA all-gathers before the serial recurrence, which is
+    the honest TPU treatment of an RNN's time axis, SURVEY.md §5.7)."""
 
     data: int = 1
     model: int = 1
+    time: int = 1
     # Axis names used across the codebase for sharding annotations.
     data_axis: str = "data"
     model_axis: str = "model"
+    time_axis: str = "time"
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.model
+        return self.data * self.model * self.time
 
 
 @dataclass(frozen=True)

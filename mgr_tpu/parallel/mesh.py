@@ -35,12 +35,17 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if cfg is None:
         cfg = MeshConfig(data=len(devices), model=1)
-    want = cfg.data * cfg.model
+    want = cfg.num_devices
     if want > len(devices):
         raise ValueError(
-            f"mesh {cfg.data}x{cfg.model} needs {want} devices, have "
-            f"{len(devices)}"
+            f"mesh {cfg.data}x{cfg.model}x{cfg.time} needs {want} devices, "
+            f"have {len(devices)}"
         )
+    if cfg.time > 1:
+        grid = np.array(devices[:want]).reshape(
+            cfg.data, cfg.model, cfg.time
+        )
+        return Mesh(grid, (cfg.data_axis, cfg.model_axis, cfg.time_axis))
     grid = np.array(devices[:want]).reshape(cfg.data, cfg.model)
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 

@@ -86,6 +86,21 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch on the mesh, batch axis over ``data``."""
-    sharding = NamedSharding(mesh, batch_pspec(mesh))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Place a host batch on the mesh: batch axis over ``data``; for
+    (B, T, ...) sequence arrays the time axis additionally shards over
+    ``time`` when the mesh has one (sequence parallelism for the
+    pointwise/projection stages — XLA all-gathers T before the serial
+    recurrence)."""
+    data_axis = mesh.axis_names[0]
+    time_axis = None
+    if "time" in mesh.axis_names and mesh.shape.get("time", 1) > 1:
+        time_axis = "time"
+
+    def place(x):
+        if time_axis is not None and getattr(x, "ndim", 0) >= 3:
+            spec = P(data_axis, time_axis)
+        else:
+            spec = P(data_axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, batch)
