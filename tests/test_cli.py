@@ -304,3 +304,54 @@ def test_long_name_alias_imports():
     )
 
     assert config.get_preset("speech").nb_classes == 44
+
+
+def test_train_early_fusion_cli(corpus, tmp_path, capsys, monkeypatch):
+    from mgr_tpu.core import config as cfglib
+
+    audio_csv = synthetic.make_monolithic_audio_dataset(
+        str(tmp_path), corpus["labels"], frames_per_label=150
+    )
+    small = cfglib.get_preset("early_fusion").replace(
+        maxlen=32, batch_size=2, compute_dtype="float32",
+        encoder=cfglib.EncoderConfig(hidden=4, depth=2, input_noise=0.1,
+                                     dropout=(0.1, 0.1), output_dropout=0.1),
+    )
+    monkeypatch.setitem(cfglib.PRESETS, "early_fusion", lambda: small)
+    workdir = str(tmp_path / "runs")
+    rc = cli_main([
+        "train", "early_fusion",
+        "--audio-csv", audio_csv,
+        "--skeletal-csv", corpus["sk_csv"],
+        "--workdir", workdir, "--epochs", "1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["best_val_loss"])
+    assert os.path.exists(os.path.join(workdir, "early_fusion_best.msgpack"))
+
+
+def test_train_rgb_cli(tmp_path, capsys, monkeypatch):
+    from mgr_tpu.core import config as cfglib
+
+    data_dir, label_file, _ = synthetic.make_rgb_dataset(
+        str(tmp_path), n_files=4, img_dim=36, frames_per_label=4
+    )
+    small = cfglib.get_preset("rgb").replace(
+        maxlen=8, batch_size=2, compute_dtype="float32",
+        encoder=cfglib.EncoderConfig(hidden=4, depth=2, input_noise=0.0,
+                                     dropout=(0.0, 0.0), output_dropout=0.0),
+        cnn=cfglib.CNNConfig(img_dim=36, channels=(2, 3, 4),
+                             kernel_sizes=(5, 5, 4), pool_sizes=(2, 2, 2)),
+    )
+    monkeypatch.setitem(cfglib.PRESETS, "rgb", lambda: small)
+    workdir = str(tmp_path / "runs")
+    rc = cli_main([
+        "train", "rgb", "--data-dir", data_dir, "--labels", label_file,
+        "--workdir", workdir, "--epochs", "1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["best_val_loss"])
+    # ReduceLROnPlateau preset is wired (rgb sets reduce_lr_factor).
+    assert small.reduce_lr_factor == 0.5
