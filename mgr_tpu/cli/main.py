@@ -32,6 +32,12 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
                         "reference's padded-length convention")
     p.add_argument("--compute-dtype", default=None,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler device trace of training")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (numerics sanitizer)")
+    p.add_argument("--async-checkpoints", action="store_true",
+                   help="write checkpoints from a background thread")
 
 
 def _config_for(args, name: str):
@@ -86,8 +92,12 @@ def _build_dataset(name: str, cfg, args, mode: str = "train"):
 
 
 def cmd_train(args) -> int:
+    from mgr_tpu.core import tracing
     from mgr_tpu.models import build_model
     from mgr_tpu.train.loop import fit
+
+    if args.debug_nans:
+        tracing.debug_nans(True)
 
     cfg = _config_for(args, args.pipeline)
     data = _build_dataset(args.pipeline, cfg, args)
@@ -103,12 +113,17 @@ def cmd_train(args) -> int:
             state = state._replace(params=grafted)
             ckpt_lib.save_checkpoint(args.workdir, cfg.name, state,
                                      slot="latest")
-        res = fit(model, data, workdir=args.workdir, mesh=_mesh_for(cfg),
-                  resume=True, epochs=args.epochs)
+        with tracing.trace(args.trace_dir):
+            res = fit(model, data, workdir=args.workdir,
+                      mesh=_mesh_for(cfg), resume=True, epochs=args.epochs,
+                      async_checkpoints=args.async_checkpoints)
     else:
         model = build_model(cfg)
-        res = fit(model, data, workdir=args.workdir, mesh=_mesh_for(cfg),
-                  resume=args.resume, epochs=args.epochs)
+        with tracing.trace(args.trace_dir):
+            res = fit(model, data, workdir=args.workdir,
+                      mesh=_mesh_for(cfg), resume=args.resume,
+                      epochs=args.epochs,
+                      async_checkpoints=args.async_checkpoints)
     print(json.dumps({
         "pipeline": args.pipeline,
         "best_val_loss": res.best_val_loss,
