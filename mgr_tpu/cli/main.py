@@ -26,7 +26,7 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
                    help="continue from the latest checkpoint (replaces the "
                         "reference's raw_input('Load previous model?'))")
     p.add_argument("--mesh", default=None,
-                   help="DATAxMODEL device mesh, e.g. 4x2")
+                   help="DATAxMODEL[xTIME] device mesh, e.g. 4x2 or 2x2x2")
     p.add_argument("--true-lengths", action="store_true",
                    help="mask CTC to true sequence lengths instead of the "
                         "reference's padded-length convention")
@@ -52,8 +52,10 @@ def _config_for(args, name: str):
     if getattr(args, "compute_dtype", None):
         over["compute_dtype"] = args.compute_dtype
     if getattr(args, "mesh", None):
-        d, m = (int(x) for x in args.mesh.lower().split("x"))
-        over["mesh"] = cfglib.MeshConfig(data=d, model=m)
+        parts = [int(x) for x in args.mesh.lower().split("x")]
+        d, m = parts[0], parts[1] if len(parts) > 1 else 1
+        t = parts[2] if len(parts) > 2 else 1
+        over["mesh"] = cfglib.MeshConfig(data=d, model=m, time=t)
     return cfg.replace(**over) if over else cfg
 
 
