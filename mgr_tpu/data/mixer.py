@@ -18,7 +18,6 @@ import os
 import random
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
 import pandas as pd
 
 

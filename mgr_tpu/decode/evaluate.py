@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import numpy as np
-
 from mgr_tpu.data.batcher import Batcher
 from mgr_tpu.decode.decoder import DECODE_SPECS, Decoder, DecodeSpec
 from mgr_tpu.decode.scorer import score_sequences

@@ -29,7 +29,7 @@ Design notes (why this is not a port):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

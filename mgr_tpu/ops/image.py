@@ -13,7 +13,7 @@ traced — one fused XLA op per frame batch, vmappable over time.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

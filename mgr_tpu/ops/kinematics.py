@@ -18,7 +18,7 @@ outputs are reproduced via ``floor`` so golden CSVs match.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -10,7 +10,6 @@ the NCCL/MPI backend the reference never had (SURVEY.md §2.3).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def psum(x, axis: str = "data"):
