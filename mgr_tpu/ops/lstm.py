@@ -188,6 +188,52 @@ def _recurrent_scan(
     return jnp.moveaxis(hs, 0, 2)  # (D, B, T, H)
 
 
+def _recurrent_scan_remat(
+    xp: jax.Array, U: jax.Array, compute_dtype, chunk: int = 64
+) -> jax.Array:
+    """Memory-light XLA recurrence: a scan over time CHUNKS whose body is
+    ``jax.checkpoint``-ed — backward recomputes one chunk's activations
+    at a time, so residual memory is O(T/chunk carries + one chunk)
+    instead of O(T). This is the long-sequence remat-chunking option of
+    SURVEY.md §5.7 for the lax.scan backend (the Pallas kernels are
+    already memory-light and ignore it). Wrapping the WHOLE layer in
+    checkpoint instead blows up compile time; scan-of-checkpointed-chunks
+    keeps the HLO linear."""
+    D, B, T, _, H = xp.shape
+    Uc = U.astype(compute_dtype)
+    Tp = ((T + chunk - 1) // chunk) * chunk
+    xp_t = jnp.moveaxis(xp, 2, 0)  # (T, D, B, 4, H)
+    if Tp != T:
+        xp_t = jnp.pad(
+            xp_t, ((0, Tp - T), (0, 0), (0, 0), (0, 0), (0, 0))
+        )
+    xs = xp_t.reshape(Tp // chunk, chunk, D, B, 4, H)
+
+    def step(carry, z):
+        h, c = carry
+        gates = z.astype(jnp.float32) + jnp.einsum(
+            "dbh,dhgk->dbgk", h.astype(compute_dtype), Uc,
+            preferred_element_type=jnp.float32,
+        )
+        i = hard_sigmoid(gates[:, :, 0])
+        f = hard_sigmoid(gates[:, :, 1])
+        g = jnp.tanh(gates[:, :, 2])
+        o = hard_sigmoid(gates[:, :, 3])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new.astype(compute_dtype)
+
+    @jax.checkpoint
+    def chunk_body(carry, xs_chunk):
+        return jax.lax.scan(step, carry, xs_chunk)
+
+    h0 = jnp.zeros((D, B, H), jnp.float32)
+    c0 = jnp.zeros((D, B, H), jnp.float32)
+    _, hs = jax.lax.scan(chunk_body, (h0, c0), xs)  # (C, chunk, D, B, H)
+    hs = hs.reshape(Tp, D, B, H)[:T]
+    return jnp.moveaxis(hs, 0, 2)  # (D, B, T, H)
+
+
 def bilstm_layer(
     params: Params,
     x: jax.Array,
@@ -204,33 +250,28 @@ def bilstm_layer(
 
     ``params`` comes from :func:`init_bilstm_params` (direction-stacked).
 
-    ``remat=True`` rematerializes the layer in the backward pass: the
-    (D, B, T, 4, H) gate projection is recomputed from the small
-    (B, T, F) input instead of being saved, dropping peak activation
-    memory from all-layers-resident to one-layer-resident. This is the
-    standard TPU memory/FLOPs trade for long-sequence RNNs
-    (SURVEY.md §5.7); an extra input matmul in backward costs far less
-    than the HBM it frees.
+    ``remat=True`` uses the chunked-remat recurrence on the lax.scan
+    backend (memory O(one chunk) instead of O(T) in backward —
+    SURVEY.md §5.7); the Pallas backend is already memory-light, so the
+    flag only affects the XLA path.
     """
     if train and dropout > 0.0 and rng is None:
         raise ValueError("dropout requires an rng key in train mode")
 
-    def core(params, x):
-        # Direction axis: slot 0 sees x, slot 1 sees time-reversed x.
-        x2 = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, F)
-        xp = _input_projection(
-            x2, params["W"], params["b"],
-            rng=rng, dropout=dropout, per_gate=per_gate, train=train,
-            compute_dtype=compute_dtype,
-        )
+    # Direction axis: slot 0 sees x, slot 1 sees time-reversed x.
+    x2 = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, F)
+    xp = _input_projection(
+        x2, params["W"], params["b"],
+        rng=rng, dropout=dropout, per_gate=per_gate, train=train,
+        compute_dtype=compute_dtype,
+    )
+    if remat and not _pallas_active():
+        hs = _recurrent_scan_remat(xp, params["U"], compute_dtype)
+    else:
         hs = _recurrent_scan(xp, params["U"], compute_dtype, unroll)
-        fwd = hs[0]
-        bwd = jnp.flip(hs[1], axis=1)
-        return jnp.concatenate([fwd, bwd], axis=-1)
-
-    if remat:
-        core = jax.checkpoint(core)
-    return core(params, x)
+    fwd = hs[0]
+    bwd = jnp.flip(hs[1], axis=1)
+    return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 def lstm_layer(

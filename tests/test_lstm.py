@@ -156,3 +156,27 @@ def test_gradients_flow():
     for k, g in grads.items():
         assert np.all(np.isfinite(np.asarray(g))), k
         assert np.any(np.asarray(g) != 0.0), k
+
+
+def test_remat_chunked_scan_matches_plain():
+    params = lstm.init_bilstm_params(jax.random.key(20), 5, 6)
+    x = jax.random.normal(jax.random.key(21), (2, 70, 5))  # T % chunk != 0
+    plain = lstm.bilstm_layer(params, x, compute_dtype=jnp.float32)
+    rem = lstm.bilstm_layer(params, x, compute_dtype=jnp.float32,
+                            remat=True)
+    np.testing.assert_allclose(
+        np.asarray(rem), np.asarray(plain), rtol=1e-5, atol=1e-6
+    )
+
+    def loss(p, use_remat):
+        return jnp.sum(
+            lstm.bilstm_layer(p, x, compute_dtype=jnp.float32,
+                              remat=use_remat) ** 2
+        )
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_rem = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_rem)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
