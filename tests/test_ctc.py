@@ -189,3 +189,79 @@ def test_jit_and_vmap_composable():
     )
     assert out.shape == (2,)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fuzz_against_optax_many_configs():
+    """Randomized sweep: shapes, lengths, repeats, blank-heavy labels."""
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        B = int(rng.integers(1, 5))
+        T = int(rng.integers(6, 26))
+        K = int(rng.integers(3, 9))
+        N = int(rng.integers(1, max(2, T // 3)))
+        logits = rng.standard_normal((B, T, K)).astype(np.float32)
+        lab_len = rng.integers(0, N + 1, size=B)
+        in_len = np.maximum(rng.integers(1, T + 1, size=B),
+                            2 * lab_len + 1)
+        in_len = np.minimum(in_len, T)
+        labels = np.zeros((B, N), np.int32)
+        for b in range(B):
+            labels[b, : lab_len[b]] = rng.integers(1, K, size=lab_len[b])
+        logit_paddings = (np.arange(T)[None] >= in_len[:, None]).astype(
+            np.float32
+        )
+        label_paddings = (np.arange(N)[None] >= lab_len[:, None]).astype(
+            np.float32
+        )
+        want = np.asarray(
+            optax.ctc_loss(
+                jnp.asarray(logits), jnp.asarray(logit_paddings),
+                jnp.asarray(labels), jnp.asarray(label_paddings),
+            )
+        )
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+        got = np.asarray(
+            ctc.ctc_loss(
+                jnp.asarray(lp), jnp.asarray(labels),
+                jnp.asarray(in_len), jnp.asarray(lab_len), blank=0,
+            )
+        )
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: B={B} T={T} K={K} N={N}",
+        )
+
+
+def test_fuzz_pallas_interpret_matches_xla():
+    from mgr_tpu.ops.pallas_kernels import pallas_ctc_loss
+
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        B = int(rng.integers(1, 4))
+        T = int(rng.integers(6, 20))
+        K = int(rng.integers(3, 8))
+        N = int(rng.integers(1, 6))
+        logits = rng.standard_normal((B, T, K)).astype(np.float32)
+        lab_len = rng.integers(0, N + 1, size=B)
+        in_len = np.minimum(
+            np.maximum(rng.integers(1, T + 1, size=B), 2 * lab_len + 1), T
+        )
+        labels = np.full((B, N), -1, np.int32)
+        for b in range(B):
+            labels[b, : lab_len[b]] = rng.integers(
+                0, K, size=lab_len[b]  # includes blank-as-label
+            )
+        lp = jnp.asarray(np.asarray(jax.nn.log_softmax(jnp.asarray(logits),
+                                                       -1)))
+        want = np.asarray(ctc.ctc_loss(
+            lp, jnp.asarray(labels), jnp.asarray(in_len),
+            jnp.asarray(lab_len), backend="xla",
+        ))
+        got = np.asarray(pallas_ctc_loss(
+            lp, jnp.asarray(labels), jnp.asarray(in_len),
+            jnp.asarray(lab_len), interpret=True,
+        ))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: B={B} T={T} K={K} N={N}",
+        )
