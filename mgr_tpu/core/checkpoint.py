@@ -79,6 +79,38 @@ def has_checkpoint(workdir: str, stamp: str, slot: str = "latest") -> bool:
     return os.path.exists(_path(workdir, stamp, slot))
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): same best/latest slot layout, stored as Orbax
+# StandardCheckpointer directories — for interop with the broader JAX
+# checkpoint ecosystem (multi-host OCDBT stores, async managers).
+# ---------------------------------------------------------------------------
+
+def _orbax_path(workdir: str, stamp: str, slot: str) -> str:
+    return os.path.abspath(os.path.join(workdir, f"{stamp}_{slot}.orbax"))
+
+
+def save_checkpoint_orbax(
+    workdir: str, stamp: str, state: Any, *, slot: str = "latest"
+) -> str:
+    import orbax.checkpoint as ocp
+
+    os.makedirs(workdir, exist_ok=True)
+    path = _orbax_path(workdir, stamp, slot)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def load_checkpoint_orbax(
+    workdir: str, stamp: str, template: Any, *, slot: str = "latest"
+) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(_orbax_path(workdir, stamp, slot), template)
+
+
 class AsyncCheckpointer:
     """Non-blocking checkpoint writer for long multi-host runs.
 

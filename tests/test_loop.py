@@ -131,3 +131,18 @@ def test_fit_with_mesh_on_virtual_devices(speech_data, tmp_path):
     res = fit(model, ds, workdir=str(tmp_path), epochs=2, mesh=mesh)
     assert np.isfinite(res.best_val_loss)
     assert res.history[-1]["train_loss"] < res.history[0]["train_loss"] * 1.5
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    cfg = _speech_cfg()
+    model = build_model(cfg)
+    state = create_train_state(model, prng.root_key(0))
+    ckpt_lib.save_checkpoint_orbax(str(tmp_path), "speech", state)
+    template = create_train_state(model, prng.root_key(1))
+    restored = ckpt_lib.load_checkpoint_orbax(
+        str(tmp_path), "speech", template
+    )
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
