@@ -355,3 +355,31 @@ def test_train_rgb_cli(tmp_path, capsys, monkeypatch):
     assert np.isfinite(out["best_val_loss"])
     # ReduceLROnPlateau preset is wired (rgb sets reduce_lr_factor).
     assert small.reduce_lr_factor == 0.5
+
+
+def test_decode_with_beam(corpus, tmp_path, capsys, monkeypatch):
+    from mgr_tpu.core import config as cfglib
+
+    small = cfglib.get_preset("skeletal").replace(
+        maxlen=32, batch_size=2, compute_dtype="float32",
+        encoder=cfglib.EncoderConfig(hidden=4, depth=2, input_noise=0.1,
+                                     dropout=(0.1, 0.1), output_dropout=0.1),
+    )
+    monkeypatch.setitem(cfglib.PRESETS, "skeletal", lambda: small)
+    workdir = str(tmp_path / "runs")
+    cli_main([
+        "train", "skeletal", "--skeletal-csv", corpus["sk_csv"],
+        "--labels", corpus["sk_labels"], "--workdir", workdir,
+        "--epochs", "1",
+    ])
+    capsys.readouterr()
+    out_mlf = str(tmp_path / "beam.mlf")
+    rc = cli_main([
+        "decode", "skeletal", "--workdir", workdir,
+        "--skeletal-csv", corpus["sk_csv"],
+        "--labels", corpus["sk_labels"],
+        "--out", out_mlf, "--beam", "4", "--true-lengths",
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["decoded"] >= 1 and os.path.exists(out_mlf)

@@ -166,3 +166,17 @@ def test_fused_decoder_matches_probs_path():
     )
     want = probs_path.decode_batches(iter(batches))
     assert got == want
+
+
+def test_read_mlf_htk_timed_labels(tmp_path):
+    # HTK label lines may carry start/end times: "start end token [score]".
+    p = tmp_path / "timed.mlf"
+    p.write_text(
+        "#!MLF!#\n"
+        '"*/Sample00001.lab"\n'
+        "0 1200000 VA -23.4\n"
+        "1200000 2400000 sil\n"
+        ".\n"
+    )
+    back = mlf.read_mlf(p)
+    assert back == {"Sample00001": ["VA", "sil"]}
