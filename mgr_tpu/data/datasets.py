@@ -90,22 +90,62 @@ def _assemble(
 
 # ---------------------------------------------------------------------------
 
+def _corpus_cache_key(paths: List[str], cfg: PipelineConfig,
+                      mode: str) -> str:
+    """Content key: file identities + the geometry that shapes arrays."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+    h.update(
+        f"{cfg.maxlen}:{cfg.downsample}:{cfg.max_label_len}:"
+        f"{cfg.nb_classes}:{cfg.ctc.trim_frames}:"
+        f"{cfg.ctc.padded_length_parity}:{mode}".encode()
+    )
+    return h.hexdigest()[:20]
+
+
 def build_audio_dataset(
-    data_dir: str, label_file: str, cfg: PipelineConfig, mode: str = "train"
+    data_dir: str, label_file: str, cfg: PipelineConfig,
+    mode: str = "train", cache_dir: Optional[str] = None,
 ) -> Batcher:
     """Speech pipeline: per-file audio CSVs + Id/Sequence labels with the
-    class->word expansion (data_generator.py:56-240)."""
+    class->word expansion (data_generator.py:56-240).
+
+    ``cache_dir`` persists the featurized arrays to one .npz keyed by
+    source mtimes + geometry, so subsequent runs skip the per-file CSV
+    parse entirely (the reference re-parsed every file every STEP;
+    SURVEY.md §3.1)."""
     ids = formats.list_audio_files(data_dir)
+    paths = [os.path.join(data_dir, f"audio_{fid}.csv") for fid in ids]
+
+    cache_path = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        key = _corpus_cache_key(paths + [label_file], cfg, mode)
+        cache_path = os.path.join(cache_dir, f"audio_{key}.npz")
+        if os.path.exists(cache_path):
+            z = np.load(cache_path)
+            train_ids, val_ids = _split_ids(ids, cfg, mode)
+            return Batcher(
+                z["X"], z["labels"], z["lab_len"], z["in_len"],
+                ids, train_ids, val_ids,
+            )
+
     feats = {
-        fid: formats.load_audio_file_csv(
-            os.path.join(data_dir, f"audio_{fid}.csv")
-        )
-        for fid in ids
+        fid: formats.load_audio_file_csv(path)
+        for fid, path in zip(ids, paths)
     }
     labels_map = formats.load_label_csv(label_file) if mode != "final" else {}
-    return _assemble(
-        cfg, ids, feats, labels_map, expand_words=True, mode=mode
-    )
+    b = _assemble(cfg, ids, feats, labels_map, expand_words=True, mode=mode)
+    if cache_path is not None:
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, X=b.features, labels=b.labels,
+                 lab_len=b.label_lengths, in_len=b.input_lengths)
+        os.replace(tmp, cache_path)
+    return b
 
 
 def build_skeletal_dataset(

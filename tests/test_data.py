@@ -212,3 +212,25 @@ def test_labels_pipeline(tmp_path):
     from mgr_tpu.data.formats import load_label_csv
 
     assert load_label_csv(out_csv) == labels
+
+
+def test_audio_dataset_cache_roundtrip(audio_fixture, tmp_path):
+    data_dir, label_file, _ = audio_fixture
+    cfg = _cfg("speech")
+    cache = str(tmp_path / "cache")
+    a = datasets.build_audio_dataset(data_dir, label_file, cfg,
+                                     cache_dir=cache)
+    import os as _os
+
+    files = [f for f in _os.listdir(cache) if f.endswith(".npz")]
+    assert len(files) == 1
+    b = datasets.build_audio_dataset(data_dir, label_file, cfg,
+                                     cache_dir=cache)
+    np.testing.assert_array_equal(a.features, b.features)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    assert a.train_ids == b.train_ids and a.val_ids == b.val_ids
+    # Geometry change -> different cache entry.
+    cfg2 = cfg.replace(maxlen=32)
+    datasets.build_audio_dataset(data_dir, label_file, cfg2,
+                                 cache_dir=cache)
+    assert len([f for f in _os.listdir(cache) if f.endswith(".npz")]) == 2
