@@ -38,6 +38,8 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
                    help="enable jax_debug_nans (numerics sanitizer)")
     p.add_argument("--async-checkpoints", action="store_true",
                    help="write checkpoints from a background thread")
+    p.add_argument("--cache-dir", default=None,
+                   help="persist featurized corpora (.npz) across runs")
 
 
 def _config_for(args, name: str):
@@ -72,7 +74,8 @@ def _build_dataset(name: str, cfg, args, mode: str = "train"):
 
     if name == "speech":
         return datasets.build_audio_dataset(
-            args.data_dir, args.labels, cfg, mode=mode
+            args.data_dir, args.labels, cfg, mode=mode,
+            cache_dir=getattr(args, "cache_dir", None),
         )
     if name == "skeletal":
         return datasets.build_skeletal_dataset(
