@@ -291,3 +291,92 @@ def lstm_layer(
     )
     hs = _recurrent_scan(xp, params["U"][None], compute_dtype, unroll)[0]
     return jnp.flip(hs, axis=1) if reverse else hs
+
+
+# ---------------------------------------------------------------------------
+# Time-major fast path. Layout profiling (docs/KERNELS.md) showed the
+# (B, T, ...) public layout spends ~58 ms/layer at B=128 transposing the
+# gate projections and the h-stream around the kernels — 3.5x the kernel
+# cost. The time-major path keeps every large tensor (T, B, ...): the
+# per-direction projection einsums emit time-major directly, direction
+# 1's reversal happens INSIDE the kernel via reversed block index maps,
+# and only tiny tensors (inputs with F<=1000 handled once per encoder,
+# logits with C=44) ever transpose.
+# ---------------------------------------------------------------------------
+
+def bilstm_layer_tm(
+    params: Params,
+    x_tm: jax.Array,
+    *,
+    rng: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    per_gate: bool = False,
+    train: bool = False,
+    compute_dtype=jnp.bfloat16,
+    unroll: int = 8,
+    remat: bool = False,
+) -> jax.Array:
+    """Time-major bidirectional LSTM: (T, B, F) -> (T, B, 2H).
+
+    Semantics identical to :func:`bilstm_layer` (same params, same
+    Keras-parity math); only the data layout differs.
+    """
+    if train and dropout > 0.0 and rng is None:
+        raise ValueError("dropout requires an rng key in train mode")
+    T, B, F = x_tm.shape
+    W, U, b = params["W"], params["U"], params["b"]
+    H = U.shape[-1]
+    xc = x_tm.astype(compute_dtype)
+    Wc = W.astype(compute_dtype)
+
+    def project(d: int) -> jax.Array:
+        """Direction d's (T, B, 4, H) projection, compute dtype."""
+        if train and dropout > 0.0:
+            keep = 1.0 - dropout
+            if per_gate:
+                mask = (
+                    jax.random.bernoulli(
+                        jax.random.fold_in(rng, d), keep, (4, B, F)
+                    ).astype(compute_dtype)
+                    / keep
+                )
+                xp = jnp.einsum(
+                    "gtbf,fgh->tbgh", xc[None] * mask[:, None], Wc[d],
+                    preferred_element_type=jnp.float32,
+                )
+                return (xp + b[d][None, None]).astype(compute_dtype)
+            mask = (
+                jax.random.bernoulli(
+                    jax.random.fold_in(rng, d), keep, (B, F)
+                ).astype(compute_dtype)
+                / keep
+            )
+            xd = xc * mask[None]
+        else:
+            xd = xc
+        xp = jnp.einsum(
+            "tbf,fgh->tbgh", xd, Wc[d], preferred_element_type=jnp.float32
+        )
+        return (xp + b[d][None, None]).astype(compute_dtype)
+
+    xp0, xp1 = project(0), project(1)
+
+    if _pallas_active():
+        from mgr_tpu.ops.pallas_kernels import pallas_bilstm_tm
+
+        hs0, hs1 = pallas_bilstm_tm(xp0, xp1, U)
+        return jnp.concatenate([hs0, hs1], axis=-1).astype(compute_dtype)
+
+    # XLA fallback: reuse the (D, B, T, ...) scan (direction 1's inputs
+    # flipped on the host, as before). Fine off-TPU where tensors are
+    # small; the Pallas path is the production one.
+    xp = jnp.stack([xp0, jnp.flip(xp1, axis=0)])  # (D, T, B, 4, H)
+    xp_old = jnp.moveaxis(xp, 1, 2)  # (D, B, T, 4, H)
+    if remat:
+        hs = _recurrent_scan_remat(xp_old, U, compute_dtype)
+    else:
+        hs = _recurrent_scan(xp_old, U, compute_dtype, unroll)
+    out = jnp.concatenate(
+        [hs[0], jnp.flip(hs[1], axis=1)], axis=-1
+    )  # (B, T, 2H)
+    return jnp.moveaxis(out, 0, 1).astype(compute_dtype)

@@ -739,3 +739,323 @@ def pallas_ctc_loss(
     return ctc_alpha_loss(
         lp_full, skip_pen, len_tile, label_lengths, N, interpret
     )
+
+
+# ===========================================================================
+# Time-major BLSTM kernels (layout-free fast path).
+#
+# Profiling showed the (D, B, T, ...) layout spent ~31 ms transposing the
+# gate projections into time-major and ~27 ms transposing the h-stream
+# back — 3.5x the kernel's own cost. These kernels keep EVERYTHING
+# time-major and handle the backward direction by reading/writing its
+# blocks with REVERSED index maps, so no flip or transpose of any large
+# tensor ever materializes:
+#   * per-direction gate projections xp0/xp1 (Tp, B, 4Hp) come straight
+#     out of the per-direction einsums (epilogue handles the layout);
+#   * direction 1 scans original time backwards by streaming its blocks
+#     with a reversed chunk map and walking rows in reverse in-kernel;
+#     its outputs are written back at ORIGINAL time positions;
+#   * the backward kernel walks d0 in reverse and d1 forward (each
+#     direction's own adjoint order) in the same grid.
+# ===========================================================================
+
+LSTM_TM_CHUNK_FWD = 2
+LSTM_TM_CHUNK_BWD = 1
+
+
+def _tm_fwd_kernel(xp0_ref, xp1_ref, u_ref, hs0_ref, hs1_ref,
+                   cs0_ref, cs1_ref, h_scr, c_scr):
+    """xp0 blocks stream forward; xp1 blocks stream with a reversed chunk
+    map (rows also consumed in reverse), so direction 1 scans original
+    time T-1 -> 0. Outputs land at original time positions."""
+    c = pl.program_id(0)
+    K = xp0_ref.shape[0]
+    Hp = u_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _init():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    def gates(z, cc):
+        i = jnp.clip(0.2 * z[:, 0 * Hp : 1 * Hp] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, 1 * Hp : 2 * Hp] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * Hp : 3 * Hp])
+        o = jnp.clip(0.2 * z[:, 3 * Hp : 4 * Hp] + 0.5, 0.0, 1.0)
+        c_new = f * cc + i * g
+        return o * jnp.tanh(c_new), c_new
+
+    def body(k, carry):
+        h, cc = carry  # (2, B, Hp) f32
+        z0 = xp0_ref[k].astype(jnp.float32) + jnp.dot(
+            h[0].astype(jnp.bfloat16), u_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        h0, c0 = gates(z0, cc[0])
+        hs0_ref[k] = h0.astype(hs0_ref.dtype)
+        cs0_ref[k] = c0.astype(cs0_ref.dtype)
+
+        kr = K - 1 - k
+        z1 = xp1_ref[kr].astype(jnp.float32) + jnp.dot(
+            h[1].astype(jnp.bfloat16), u_ref[1],
+            preferred_element_type=jnp.float32,
+        )
+        h1, c1 = gates(z1, cc[1])
+        hs1_ref[kr] = h1.astype(hs1_ref.dtype)
+        cs1_ref[kr] = c1.astype(cs1_ref.dtype)
+        return jnp.stack([h0, h1]), jnp.stack([c0, c1])
+
+    h, cc = jax.lax.fori_loop(0, K, body, (h_scr[...], c_scr[...]))
+    h_scr[...] = h
+    c_scr[...] = cc
+
+
+def _tm_fwd_call(xp0, xp1, U, interpret):
+    """xp0/xp1 (Tp, B, 4Hp) bf16, U (2, Hp, 4Hp) -> hs0, hs1, cs0, cs1."""
+    Tp, B, H4 = xp0.shape
+    Hp = H4 // 4
+    K = LSTM_TM_CHUNK_FWD
+    C = Tp // K
+
+    fwd = lambda c: (c, 0, 0)
+    rev = lambda c: (C - 1 - c, 0, 0)
+    outs = pl.pallas_call(
+        _tm_fwd_kernel,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((K, B, H4), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Hp, H4), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, B, Hp), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, Hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, Hp), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, Hp), rev, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, B, Hp), jnp.float32),
+            pltpu.VMEM((2, B, Hp), jnp.float32),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Tp, B, Hp), jnp.bfloat16)] * 4,
+        interpret=interpret,
+    )(xp0, xp1, U)
+    return outs
+
+
+def _tm_bwd_kernel(
+    xp0_ref, hs0_ref, hs0p_ref, cs0_ref, cs0p_ref, dhs0_ref,
+    xp1_ref, hs1_ref, hs1n_ref, cs1_ref, cs1n_ref, dhs1_ref,
+    u_ref, dz0_ref, dz1_ref, dh_scr, dc_scr,
+):
+    """Adjoint walk: d0 in reverse original time (prev state = previous
+    row / previous chunk's last row), d1 in FORWARD original time (its
+    scan ran backwards, so its pre-state lives at tau+1 / the NEXT
+    chunk's first row)."""
+    rc = pl.program_id(0)
+    C = pl.num_programs(0)
+    K = dz0_ref.shape[0]
+    Hp = u_ref.shape[1]
+    Tp = C * K
+
+    @pl.when(rc == 0)
+    def _init():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    def hs_grad(zx):
+        return jnp.where((zx > -2.5) & (zx < 2.5), 0.2, 0.0)
+
+    def direction_step(xp_ref_d, u_d, h_prev, c_prev, c_t, dhs_row,
+                       dh_c, dc_c, row):
+        z = xp_ref_d[row].astype(jnp.float32) + jnp.dot(
+            h_prev.astype(jnp.bfloat16), u_d,
+            preferred_element_type=jnp.float32,
+        )
+        z_i = z[:, 0 * Hp : 1 * Hp]
+        z_f = z[:, 1 * Hp : 2 * Hp]
+        z_g = z[:, 2 * Hp : 3 * Hp]
+        z_o = z[:, 3 * Hp : 4 * Hp]
+        i_g = jnp.clip(0.2 * z_i + 0.5, 0.0, 1.0)
+        f_g = jnp.clip(0.2 * z_f + 0.5, 0.0, 1.0)
+        g_g = jnp.tanh(z_g)
+        o_g = jnp.clip(0.2 * z_o + 0.5, 0.0, 1.0)
+        tanh_c = jnp.tanh(c_t)
+        dh = dhs_row.astype(jnp.float32) + dh_c
+        do = dh * tanh_c
+        dc = dc_c + dh * o_g * (1.0 - tanh_c * tanh_c)
+        dz = jnp.concatenate(
+            [
+                (dc * g_g) * hs_grad(z_i),
+                (dc * c_prev) * hs_grad(z_f),
+                (dc * i_g) * (1.0 - g_g * g_g),
+                do * hs_grad(z_o),
+            ],
+            axis=1,
+        )
+        dh_prev = jax.lax.dot_general(
+            dz.astype(jnp.bfloat16), u_d,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dz, dh_prev, dc * f_g
+
+    def body(i, carry):
+        dh_c, dc_c = carry  # (2, B, Hp)
+
+        # --- d0: reverse original time ---
+        k0 = K - 1 - i
+        t0 = (C - 1 - rc) * K + k0
+        km1 = jnp.maximum(k0 - 1, 0)
+        h_prev0 = jnp.where(k0 == 0, hs0p_ref[K - 1], hs0_ref[km1])
+        c_prev0 = jnp.where(k0 == 0, cs0p_ref[K - 1], cs0_ref[km1])
+        h_prev0 = jnp.where(t0 == 0, 0.0, h_prev0.astype(jnp.float32))
+        c_prev0 = jnp.where(t0 == 0, 0.0, c_prev0.astype(jnp.float32))
+        dz0, dh0, dc0 = direction_step(
+            xp0_ref, u_ref[0], h_prev0, c_prev0,
+            cs0_ref[k0].astype(jnp.float32), dhs0_ref[k0],
+            dh_c[0], dc_c[0], k0,
+        )
+        dz0_ref[k0] = dz0.astype(dz0_ref.dtype)
+
+        # --- d1: forward original time (adjoint of its reverse scan) ---
+        k1 = i
+        t1 = rc * K + k1
+        kp1 = jnp.minimum(k1 + 1, K - 1)
+        h_prev1 = jnp.where(k1 == K - 1, hs1n_ref[0], hs1_ref[kp1])
+        c_prev1 = jnp.where(k1 == K - 1, cs1n_ref[0], cs1_ref[kp1])
+        h_prev1 = jnp.where(t1 == Tp - 1, 0.0,
+                            h_prev1.astype(jnp.float32))
+        c_prev1 = jnp.where(t1 == Tp - 1, 0.0,
+                            c_prev1.astype(jnp.float32))
+        dz1, dh1, dc1 = direction_step(
+            xp1_ref, u_ref[1], h_prev1, c_prev1,
+            cs1_ref[k1].astype(jnp.float32), dhs1_ref[k1],
+            dh_c[1], dc_c[1], k1,
+        )
+        dz1_ref[k1] = dz1.astype(dz1_ref.dtype)
+
+        return jnp.stack([dh0, dh1]), jnp.stack([dc0, dc1])
+
+    dh, dc = jax.lax.fori_loop(0, K, body, (dh_scr[...], dc_scr[...]))
+    dh_scr[...] = dh
+    dc_scr[...] = dc
+
+
+def _tm_bwd_call(xp0, xp1, hs0, hs1, cs0, cs1, dhs0, dhs1, U, interpret):
+    Tp, B, H4 = xp0.shape
+    Hp = H4 // 4
+    K = LSTM_TM_CHUNK_BWD
+    C = Tp // K
+
+    rev = lambda c: (C - 1 - c, 0, 0)
+    rev_prev = lambda c: (jnp.maximum(C - 1 - c - 1, 0), 0, 0)
+    fwd = lambda c: (c, 0, 0)
+    fwd_next = lambda c: (jnp.minimum(c + 1, C - 1), 0, 0)
+    const = lambda c: (0, 0, 0)
+
+    def spec(shape, m):
+        return pl.BlockSpec(shape, m, memory_space=pltpu.VMEM)
+
+    dz0, dz1 = pl.pallas_call(
+        _tm_bwd_kernel,
+        grid=(C,),
+        in_specs=[
+            spec((K, B, H4), rev),      # xp0
+            spec((K, B, Hp), rev),      # hs0
+            spec((K, B, Hp), rev_prev), # hs0 prev chunk
+            spec((K, B, Hp), rev),      # cs0
+            spec((K, B, Hp), rev_prev), # cs0 prev chunk
+            spec((K, B, Hp), rev),      # dhs0
+            spec((K, B, H4), fwd),      # xp1
+            spec((K, B, Hp), fwd),      # hs1
+            spec((K, B, Hp), fwd_next), # hs1 next chunk
+            spec((K, B, Hp), fwd),      # cs1
+            spec((K, B, Hp), fwd_next), # cs1 next chunk
+            spec((K, B, Hp), fwd),      # dhs1
+            pl.BlockSpec((2, Hp, H4), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            spec((K, B, H4), rev),
+            spec((K, B, H4), fwd),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, B, Hp), jnp.float32),
+            pltpu.VMEM((2, B, Hp), jnp.float32),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Tp, B, H4), jnp.bfloat16)] * 2,
+        interpret=interpret,
+    )(xp0, hs0, hs0, cs0, cs0, dhs0, xp1, hs1, hs1, cs1, cs1, dhs1, U)
+    return dz0, dz1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _tm_core(xp0, xp1, U, interpret):
+    hs0, hs1, _, _ = _tm_fwd_call(xp0, xp1, U, interpret)
+    return hs0, hs1
+
+
+def _tm_core_fwd(xp0, xp1, U, interpret):
+    hs0, hs1, cs0, cs1 = _tm_fwd_call(xp0, xp1, U, interpret)
+    return (hs0, hs1), (xp0, xp1, U, hs0, hs1, cs0, cs1)
+
+
+def _tm_core_bwd(interpret, res, grads):
+    xp0, xp1, U, hs0, hs1, cs0, cs1 = res
+    dhs0, dhs1 = (g.astype(jnp.bfloat16) for g in grads)
+    dz0, dz1 = _tm_bwd_call(
+        xp0, xp1, hs0, hs1, cs0, cs1, dhs0, dhs1, U, interpret
+    )
+    # h_prev streams: d0 looks back (zeros at t=0); d1 looks FORWARD
+    # (its scan pre-state at original tau is hs1[tau+1]; zeros at Tp-1).
+    hp0 = jnp.concatenate([jnp.zeros_like(hs0[:1]), hs0[:-1]], axis=0)
+    hp1 = jnp.concatenate([hs1[1:], jnp.zeros_like(hs1[:1])], axis=0)
+    dU0 = jnp.einsum("tbh,tbk->hk", hp0.astype(jnp.bfloat16), dz0,
+                     preferred_element_type=jnp.float32)
+    dU1 = jnp.einsum("tbh,tbk->hk", hp1.astype(jnp.bfloat16), dz1,
+                     preferred_element_type=jnp.float32)
+    dU = jnp.stack([dU0, dU1]).astype(U.dtype)
+    return dz0.astype(xp0.dtype), dz1.astype(xp1.dtype), dU
+
+
+_tm_core.defvjp(_tm_core_fwd, _tm_core_bwd)
+
+
+def pallas_bilstm_tm(
+    xp0: jax.Array, xp1: jax.Array, U: jax.Array,
+    *, interpret: bool | None = None,
+):
+    """Time-major fused BLSTM scan.
+
+    xp0/xp1: (T, B, 4, H) per-direction gate projections in ORIGINAL
+    time order (direction 1's reversal happens inside the kernel).
+    U: (2, H, 4, H). Returns (hs0, hs1), each (T, B, H) float32, both in
+    original time order (hs1[t] = backward-direction state having
+    consumed steps T-1..t). Differentiable in all three arguments.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    T, B, _, H = xp0.shape
+    Hp = _round_up(H, LANE)
+    pad = Hp - H
+    step_mult = max(LSTM_TM_CHUNK_FWD, LSTM_TM_CHUNK_BWD)
+    Tp = _round_up(T, step_mult)
+
+    def prep(xp):
+        if pad:
+            xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        xp = xp.reshape(T, B, 4 * Hp)
+        if Tp != T:
+            xp = jnp.pad(xp, ((0, Tp - T), (0, 0), (0, 0)))
+        return xp.astype(jnp.bfloat16)
+
+    Upad = U
+    if pad:
+        Upad = jnp.pad(U, ((0, 0), (0, pad), (0, 0), (0, pad)))
+    Uf = Upad.reshape(2, Hp, 4 * Hp).astype(jnp.bfloat16)
+
+    hs0, hs1 = _tm_core(prep(xp0), prep(xp1), Uf, interpret)
+    hs0 = hs0[:T, :, :H].astype(jnp.float32)
+    hs1 = hs1[:T, :, :H].astype(jnp.float32)
+    return hs0, hs1

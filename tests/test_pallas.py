@@ -160,3 +160,78 @@ def test_pallas_ctc_grad_through_logits_chain():
     g_xla = np.asarray(jax.grad(chain("xla"))(logits))
     g_pal = np.asarray(jax.grad(chain("pallas"))(logits))
     np.testing.assert_allclose(g_pal, g_xla, rtol=1e-3, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Time-major BLSTM path vs the batch-major reference implementation.
+# ---------------------------------------------------------------------------
+
+def test_tm_kernels_match_batch_major():
+    params = lstm.init_bilstm_params(jax.random.key(30), 5, 8)
+    x = jax.random.normal(jax.random.key(31), (3, 11, 5))  # (B, T, F)
+    want = lstm.bilstm_layer(params, x, compute_dtype=jnp.float32)
+
+    x_tm = jnp.swapaxes(x, 0, 1)
+    # XLA fallback path
+    got_xla = lstm.bilstm_layer_tm(params, x_tm, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(got_xla, 0, 1)), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
+    )
+    # Pallas interpret path
+    lstm.use_pallas(True)
+    try:
+        got_pal = lstm.bilstm_layer_tm(
+            params, x_tm, compute_dtype=jnp.float32
+        )
+    finally:
+        lstm.use_pallas(False)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(got_pal, 0, 1)), np.asarray(want),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_tm_pallas_gradients_match_xla_fallback():
+    params = lstm.init_bilstm_params(jax.random.key(32), 4, 8)
+    x_tm = jax.random.normal(jax.random.key(33), (9, 2, 4))  # (T, B, F)
+    tang = jax.random.normal(jax.random.key(34), (9, 2, 16))
+
+    def loss(p, use_pallas):
+        lstm.use_pallas(use_pallas)
+        try:
+            out = lstm.bilstm_layer_tm(p, x_tm, compute_dtype=jnp.float32)
+        finally:
+            lstm.use_pallas(False)
+        return jnp.sum(out * tang)
+
+    g_xla = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    for (ka, a), (kb, b) in zip(
+        sorted(g_xla.items()), sorted(g_pal.items())
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(
+            b / denom, a / denom, atol=5e-2, err_msg=ka
+        )
+
+
+def test_tm_input_gradients_match():
+    params = lstm.init_bilstm_params(jax.random.key(35), 3, 8)
+    x_tm = jax.random.normal(jax.random.key(36), (7, 2, 3))
+
+    def loss(x, use_pallas):
+        lstm.use_pallas(use_pallas)
+        try:
+            out = lstm.bilstm_layer_tm(
+                params, x, compute_dtype=jnp.float32
+            )
+        finally:
+            lstm.use_pallas(False)
+        return jnp.sum(out ** 2)
+
+    g_xla = np.asarray(jax.grad(lambda x: loss(x, False))(x_tm))
+    g_pal = np.asarray(jax.grad(lambda x: loss(x, True))(x_tm))
+    denom = np.abs(g_xla).max() + 1e-6
+    np.testing.assert_allclose(g_pal / denom, g_xla / denom, atol=5e-2)
