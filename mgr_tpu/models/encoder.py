@@ -33,6 +33,45 @@ def init_encoder(rng: jax.Array, in_dim: int, cfg: EncoderConfig) -> Params:
     return params
 
 
+def apply_encoder_tm(
+    params: Params,
+    x_tm: jax.Array,
+    cfg: EncoderConfig,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+    noise_override: Optional[float] = None,
+) -> jax.Array:
+    """Time-major core: (T, B, F) -> (T, B, 2H) residual stream.
+
+    Every large intermediate stays time-major so the fused kernels run
+    without layout copies (docs/KERNELS.md); callers transpose only the
+    small input features and final logits."""
+    from mgr_tpu.models.layers import gaussian_noise  # local to avoid cycle
+
+    sigma = cfg.input_noise if noise_override is None else noise_override
+    h = gaussian_noise(
+        x_tm, sigma,
+        None if rng is None else prng.fold_name(rng, "noise"), train,
+    )
+    outs = []
+    for i in range(cfg.depth):
+        rate = cfg.dropout[i] if i < len(cfg.dropout) else cfg.dropout[-1]
+        h = lstm.bilstm_layer_tm(
+            params[f"blstm_{i}"], h,
+            rng=None if rng is None else prng.fold_name(rng, f"drop_{i}"),
+            dropout=rate,
+            per_gate=cfg.per_gate_dropout,
+            train=train,
+            compute_dtype=compute_dtype,
+        )
+        outs.append(h)
+    if cfg.residual and cfg.depth >= 2:
+        return outs[-2] + outs[-1]
+    return outs[-1]
+
+
 def apply_encoder(
     params: Params,
     x: jax.Array,
@@ -48,25 +87,15 @@ def apply_encoder(
     ``noise_override`` supports the late-fusion re-application of a
     pretrained encoder under a different input noise (speech keeps 0.5,
     skeletal gets 0.0 — /root/reference/multimodal_fusion/multimodal.py:103-106).
-    """
-    from mgr_tpu.models.layers import gaussian_noise  # local to avoid cycle
 
-    sigma = cfg.input_noise if noise_override is None else noise_override
-    h = gaussian_noise(
-        x, sigma, None if rng is None else prng.fold_name(rng, "noise"), train
+    Thin wrapper over :func:`apply_encoder_tm`: the input transpose is
+    on the SMALL feature width (F <= ~1000) and the output transpose is
+    only paid by callers that need batch-major; the model zoo stays
+    time-major through the head instead.
+    """
+    out_tm = apply_encoder_tm(
+        params, jnp.swapaxes(x, 0, 1), cfg,
+        train=train, rng=rng, compute_dtype=compute_dtype,
+        noise_override=noise_override,
     )
-    outs = []
-    for i in range(cfg.depth):
-        rate = cfg.dropout[i] if i < len(cfg.dropout) else cfg.dropout[-1]
-        h = lstm.bilstm_layer(
-            params[f"blstm_{i}"], h,
-            rng=None if rng is None else prng.fold_name(rng, f"drop_{i}"),
-            dropout=rate,
-            per_gate=cfg.per_gate_dropout,
-            train=train,
-            compute_dtype=compute_dtype,
-        )
-        outs.append(h)
-    if cfg.residual and cfg.depth >= 2:
-        return outs[-2] + outs[-1]
-    return outs[-1]
+    return jnp.swapaxes(out_tm, 0, 1)

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from mgr_tpu.core import prng
 from mgr_tpu.core.config import PipelineConfig, get_preset
 from mgr_tpu.models import layers
-from mgr_tpu.models.encoder import apply_encoder, init_encoder
+from mgr_tpu.models.encoder import (
+    apply_encoder_tm,
+    init_encoder,
+)
 from mgr_tpu.ops import lstm
 
 Params = Dict[str, Any]
@@ -38,6 +41,11 @@ class ModelDef(NamedTuple):
     # updates (late fusion freezes the pretrained encoders, replacing the
     # reference's Bidirectional-freeze workaround, multimodal.py:33-55).
     trainable: Callable[[Params], Params]
+    # apply_tm(params, inputs, ...) -> (T, B, nb_classes) logits. The
+    # training path uses this to keep every large tensor time-major
+    # (the fused kernels' native layout — docs/KERNELS.md); ``apply``
+    # is its transpose for the public batch-major contract.
+    apply_tm: Optional[Callable[..., jax.Array]] = None
 
 
 def _all_trainable(params: Params) -> Params:
@@ -72,9 +80,9 @@ def _build_unimodal(cfg: PipelineConfig) -> ModelDef:
             "head": _head_init(rng, enc_out, cfg.nb_classes),
         }
 
-    def apply(params, x, *, train=False, rng=None):
-        h = apply_encoder(
-            params["encoder"], x, cfg.encoder,
+    def apply_tm(params, x, *, train=False, rng=None):
+        h = apply_encoder_tm(
+            params["encoder"], jnp.swapaxes(x, 0, 1), cfg.encoder,
             train=train, rng=rng, compute_dtype=dt,
         )
         return _head_apply(
@@ -82,7 +90,10 @@ def _build_unimodal(cfg: PipelineConfig) -> ModelDef:
             train=train, rng=rng, compute_dtype=dt,
         )
 
-    return ModelDef(cfg, init, apply, _all_trainable)
+    def apply(params, x, *, train=False, rng=None):
+        return jnp.swapaxes(apply_tm(params, x, train=train, rng=rng), 0, 1)
+
+    return ModelDef(cfg, init, apply, _all_trainable, apply_tm)
 
 
 # ---------------------------------------------------------------------------
@@ -104,10 +115,10 @@ def _build_rgb(cfg: PipelineConfig) -> ModelDef:
             "head": _head_init(rng, enc_out, cfg.nb_classes),
         }
 
-    def apply(params, x, *, train=False, rng=None):
+    def apply_tm(params, x, *, train=False, rng=None):
         feats = layers.cnn_frontend(params["cnn"], x, cfg.cnn, compute_dtype=dt)
-        h = apply_encoder(
-            params["encoder"], feats, cfg.encoder,
+        h = apply_encoder_tm(
+            params["encoder"], jnp.swapaxes(feats, 0, 1), cfg.encoder,
             train=train, rng=rng, compute_dtype=dt,
         )
         return _head_apply(
@@ -115,7 +126,10 @@ def _build_rgb(cfg: PipelineConfig) -> ModelDef:
             train=train, rng=rng, compute_dtype=dt,
         )
 
-    return ModelDef(cfg, init, apply, _all_trainable)
+    def apply(params, x, *, train=False, rng=None):
+        return jnp.swapaxes(apply_tm(params, x, train=train, rng=rng), 0, 1)
+
+    return ModelDef(cfg, init, apply, _all_trainable, apply_tm)
 
 
 # ---------------------------------------------------------------------------
@@ -136,8 +150,8 @@ def _build_early_fusion(cfg: PipelineConfig) -> ModelDef:
             "head": _head_init(rng, enc_out, cfg.nb_classes),
         }
 
-    def apply(params, inputs: Tuple[jax.Array, jax.Array], *, train=False,
-              rng=None):
+    def apply_tm(params, inputs: Tuple[jax.Array, jax.Array], *,
+                 train=False, rng=None):
         x_a, x_s = inputs
         x_a = layers.gaussian_noise(
             x_a, cfg.encoder.input_noise,
@@ -148,8 +162,8 @@ def _build_early_fusion(cfg: PipelineConfig) -> ModelDef:
             None if rng is None else prng.fold_name(rng, "noise_s"), train,
         )
         x = jnp.concatenate([x_a, x_s], axis=2)
-        h = apply_encoder(
-            params["encoder"], x, cfg.encoder,
+        h = apply_encoder_tm(
+            params["encoder"], jnp.swapaxes(x, 0, 1), cfg.encoder,
             train=train, rng=rng, compute_dtype=dt,
             noise_override=0.0,  # noise already applied per stream
         )
@@ -158,7 +172,12 @@ def _build_early_fusion(cfg: PipelineConfig) -> ModelDef:
             train=train, rng=rng, compute_dtype=dt,
         )
 
-    return ModelDef(cfg, init, apply, _all_trainable)
+    def apply(params, inputs, *, train=False, rng=None):
+        return jnp.swapaxes(
+            apply_tm(params, inputs, train=train, rng=rng), 0, 1
+        )
+
+    return ModelDef(cfg, init, apply, _all_trainable, apply_tm)
 
 
 # ---------------------------------------------------------------------------
@@ -195,27 +214,27 @@ def _build_late_fusion(
             "head": _head_init(rng, head_in, cfg.nb_classes),
         }
 
-    def apply(params, inputs: Tuple[jax.Array, jax.Array], *, train=False,
-              rng=None):
+    def apply_tm(params, inputs: Tuple[jax.Array, jax.Array], *,
+                 train=False, rng=None):
         x_a, x_s = inputs
         # Per-stream noise overrides: audio 0.5, skeletal 0.0
         # (multimodal.py:103-106).
-        res_a = apply_encoder(
-            params["speech"], x_a, sp_cfg.encoder,
+        res_a = apply_encoder_tm(
+            params["speech"], jnp.swapaxes(x_a, 0, 1), sp_cfg.encoder,
             train=train,
             rng=None if rng is None else prng.fold_name(rng, "enc_a"),
             compute_dtype=dt,
             noise_override=cfg.encoder.input_noise,
         )
-        res_s = apply_encoder(
-            params["skeletal"], x_s, sk_cfg.encoder,
+        res_s = apply_encoder_tm(
+            params["skeletal"], jnp.swapaxes(x_s, 0, 1), sk_cfg.encoder,
             train=train,
             rng=None if rng is None else prng.fold_name(rng, "enc_s"),
             compute_dtype=dt,
             noise_override=cfg.second_stream_noise,
         )
         merged = jnp.concatenate([res_a, res_s], axis=-1)
-        h = lstm.bilstm_layer(
+        h = lstm.bilstm_layer_tm(
             params["fusion"], merged,
             rng=None if rng is None else prng.fold_name(rng, "fusion_drop"),
             dropout=0.5,  # multimodal.py:164
@@ -226,6 +245,11 @@ def _build_late_fusion(
             train=train, rng=rng, compute_dtype=dt,
         )
 
+    def apply(params, inputs, *, train=False, rng=None):
+        return jnp.swapaxes(
+            apply_tm(params, inputs, train=train, rng=rng), 0, 1
+        )
+
     def trainable(params: Params) -> Params:
         return {
             "speech": jax.tree.map(lambda _: False, params["speech"]),
@@ -234,7 +258,7 @@ def _build_late_fusion(
             "head": jax.tree.map(lambda _: True, params["head"]),
         }
 
-    return ModelDef(cfg, init, apply, trainable)
+    return ModelDef(cfg, init, apply, trainable, apply_tm)
 
 
 # ---------------------------------------------------------------------------

@@ -155,13 +155,28 @@ def ctc_loss_from_logits(
     label_lengths: jax.Array,
     blank: Optional[int] = None,
     trim_frames: int = 0,
+    time_major: bool = False,
 ) -> jax.Array:
     """CTC loss from unnormalized logits, with the reference's leading-
     frame trim (losses.py:9-11). ``input_lengths`` must already exclude
-    the trimmed frames, matching data_generator.py:223."""
+    the trimmed frames, matching data_generator.py:223.
+
+    ``time_major`` accepts (T, B, K) logits directly from the
+    time-major model path; the Pallas packing einsum absorbs the layout
+    so the large activation never transposes."""
     if trim_frames:
-        logits = logits[:, trim_frames:, :]
+        logits = logits[trim_frames:] if time_major else \
+            logits[:, trim_frames:, :]
     log_probs = jax.nn.log_softmax(logits, axis=-1)
+    if time_major:
+        if jax.default_backend() == "tpu":
+            from mgr_tpu.ops.pallas_kernels import pallas_ctc_loss
+
+            return pallas_ctc_loss(
+                log_probs, labels, input_lengths, label_lengths, blank,
+                time_major=True,
+            )
+        log_probs = jnp.swapaxes(log_probs, 0, 1)
     return ctc_loss(log_probs, labels, input_lengths, label_lengths, blank)
 
 

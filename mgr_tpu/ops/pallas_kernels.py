@@ -689,7 +689,7 @@ ctc_alpha_loss.defvjp(_ctc_alpha_loss_fwd, _ctc_alpha_loss_bwd)
 
 def pallas_ctc_loss(
     log_probs, labels, input_lengths, label_lengths, blank=None,
-    *, interpret=None,
+    *, interpret=None, time_major=False,
 ):
     """Drop-in CTC loss on the fused Pallas recursion.
 
@@ -703,7 +703,10 @@ def pallas_ctc_loss(
     """
     if interpret is None:
         interpret = _interpret_default()
-    B, T, K = log_probs.shape
+    if time_major:
+        T, B, K = log_probs.shape
+    else:
+        B, T, K = log_probs.shape
     N = labels.shape[1]
     if blank is None:
         blank = K - 1
@@ -714,8 +717,14 @@ def pallas_ctc_loss(
 
     Np = _round_up(N + 1, LANE)
     onehot = jax.nn.one_hot(labels_s, K, dtype=jnp.float32)  # (B, N, K)
-    lp_emit = jnp.einsum("btk,bnk->btn", log_probs, onehot)  # (B, T, N)
-    lp_phi = log_probs[:, :, blank]  # (B, T)
+    if time_major:
+        # The layout change rides the matmul epilogue; the only true
+        # transpose is the tiny (T, B) blank column.
+        lp_emit = jnp.einsum("tbk,bnk->btn", log_probs, onehot)
+        lp_phi = jnp.swapaxes(log_probs[:, :, blank], 0, 1)  # (B, T)
+    else:
+        lp_emit = jnp.einsum("btk,bnk->btn", log_probs, onehot)  # (B, T, N)
+        lp_phi = log_probs[:, :, blank]  # (B, T)
     pad_tail = jnp.full((B, T, Np - N - 1), _CTC_NEG, jnp.float32)
     lp_full = jnp.concatenate(
         [lp_emit, lp_phi[:, :, None], pad_tail], axis=2

@@ -57,13 +57,25 @@ def _batch_inputs(batch: Dict[str, Any]):
 
 def _loss_from_batch(model: ModelDef, params: Params, batch, *, train, rng):
     cfg = model.config
-    logits = model.apply(params, _batch_inputs(batch), train=train, rng=rng)
+    if model.apply_tm is not None:
+        # Time-major path: logits stay (T, B, C); the CTC packing einsum
+        # absorbs the layout (no large-tensor transpose anywhere).
+        logits = model.apply_tm(
+            params, _batch_inputs(batch), train=train, rng=rng
+        )
+        time_major = True
+    else:
+        logits = model.apply(
+            params, _batch_inputs(batch), train=train, rng=rng
+        )
+        time_major = False
     losses = ctc_loss_from_logits(
         logits,
         batch["labels"],
         batch["input_length"],
         batch["label_length"],
         trim_frames=cfg.ctc.trim_frames,
+        time_major=time_major,
     )
     return losses.mean()
 
