@@ -64,7 +64,9 @@ def ctc_loss(
         cross-validated in tests.
     """
     if backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu"
+        backend == "auto"
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1  # see mgr_tpu.ops.lstm._pallas_active
     ):
         from mgr_tpu.ops.pallas_kernels import pallas_ctc_loss
 
@@ -169,7 +171,7 @@ def ctc_loss_from_logits(
             logits[:, trim_frames:, :]
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     if time_major:
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and jax.device_count() == 1:
             from mgr_tpu.ops.pallas_kernels import pallas_ctc_loss
 
             return pallas_ctc_loss(

@@ -143,7 +143,12 @@ def _pallas_active() -> bool:
     if RECURRENT_BACKEND == "xla":
         return False
     try:
-        return jax.default_backend() == "tpu"
+        # Auto mode engages the fused kernels on single-chip TPU runs.
+        # Under multi-device pjit, GSPMD treats a pallas_call as a black
+        # box (operands would be all-gathered), so auto falls back to
+        # the partitionable lax.scan path until the kernels are wrapped
+        # in shard_map over the data axis (see CLAUDE.md backlog).
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:  # pragma: no cover
         return False
 
