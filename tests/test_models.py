@@ -115,3 +115,48 @@ def test_jit_apply():
     jit_apply = jax.jit(lambda p, x: model.apply(p, x))
     out = jit_apply(params, x)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_apply_matches_apply_tm_all_families():
+    """The public batch-major apply is exactly the transpose of the
+    time-major path for every family."""
+    import jax.numpy as jnp
+
+    sp = _tiny("speech", num_feats=5, nb_classes=7)
+    sk = _tiny("skeletal", num_feats=4, nb_classes=7)
+    cases = []
+
+    m = build_model(sp)
+    x = jax.random.normal(jax.random.key(1), (2, sp.maxlen, 5))
+    cases.append((m, x))
+
+    m = build_model(sk)
+    xs = jax.random.normal(jax.random.key(2), (2, sk.maxlen, 4))
+    cases.append((m, xs))
+
+    cnn = cfglib.CNNConfig(img_dim=36, channels=(2, 3, 4),
+                           kernel_sizes=(5, 5, 4), pool_sizes=(2, 2, 2))
+    rgb = _tiny("rgb", cnn=cnn, nb_classes=5, maxlen=4)
+    m = build_model(rgb)
+    xv = jax.random.normal(jax.random.key(3), (2, 4, 36, 36, 1))
+    cases.append((m, xv))
+
+    ef = _tiny("early_fusion", num_feats=5, second_stream_feats=3,
+               nb_classes=7)
+    m = build_model(ef)
+    cases.append((m, (x, jax.random.normal(jax.random.key(4),
+                                           (2, ef.maxlen, 3)))))
+
+    lf = _tiny("late_fusion", num_feats=5, second_stream_feats=4,
+               nb_classes=7, fusion_hidden=4, encoder=sp.encoder)
+    m = build_model(lf, source_configs={"speech": sp, "skeletal": sk})
+    cases.append((m, (x, xs)))
+
+    for model, inputs in cases:
+        params = model.init(jax.random.key(0))
+        out = model.apply(params, inputs)
+        out_tm = model.apply_tm(params, inputs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.swapaxes(out_tm, 0, 1)),
+            atol=1e-6, err_msg=model.config.name,
+        )
