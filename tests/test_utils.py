@@ -61,3 +61,54 @@ def test_per_host_batch_sharding():
     flat0 = {x for c in shard0 for x in c}
     flat1 = {x for c in shard1 for x in c}
     assert flat0.isdisjoint(flat1)
+
+
+def test_tracing_helpers():
+    import jax
+
+    from mgr_tpu.core import tracing
+
+    with tracing.annotate("test-region"):
+        pass
+    with tracing.trace(None):  # disabled: no logdir
+        pass
+    tracing.debug_nans(True)
+    try:
+        assert jax.config.jax_debug_nans
+    finally:
+        tracing.debug_nans(False)
+
+
+def test_all_gather_and_reduce_scatter():
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mgr_tpu.core.config import MeshConfig
+    from mgr_tpu.parallel import collectives, make_mesh
+
+    if len(jax.devices()) < 8:
+        return
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    x = jnp.arange(8.0)
+
+    g = shard_map(
+        partial(collectives.all_gather, axis="data"),
+        mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+    )
+    out = np.asarray(g(x))  # each shard gathers the full vector
+    assert out.shape == (64,)
+    np.testing.assert_allclose(out[:8], np.arange(8.0))
+
+    rs = shard_map(
+        partial(collectives.reduce_scatter, axis="data"),
+        mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+    )
+    # Each shard holds one element; psum_scatter of the sharded vector
+    # redistributes the summed shards.
+    out2 = np.asarray(rs(jnp.ones(64)))
+    assert out2.shape == (8,)
+    np.testing.assert_allclose(out2, 8.0)
