@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mgr_tpu.ops import dispatch as _dispatch
+
 _LOG_EPS = -1e5  # effectively -inf but safe for autodiff (no nan * 0)
 
 
@@ -63,11 +65,7 @@ def ctc_loss(
         on v5e where the scan is loop-overhead-bound; both are
         cross-validated in tests.
     """
-    if backend == "pallas" or (
-        backend == "auto"
-        and jax.default_backend() == "tpu"
-        and jax.device_count() == 1  # see mgr_tpu.ops.lstm._pallas_active
-    ):
+    if backend == "pallas" or (backend == "auto" and _dispatch.pallas_ok()):
         from mgr_tpu.ops.pallas_kernels import pallas_ctc_loss
 
         return pallas_ctc_loss(
@@ -171,7 +169,7 @@ def ctc_loss_from_logits(
             logits[:, trim_frames:, :]
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     if time_major:
-        if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        if _dispatch.pallas_ok():
             from mgr_tpu.ops.pallas_kernels import pallas_ctc_loss
 
             return pallas_ctc_loss(

@@ -128,29 +128,19 @@ def _input_projection(
 # Recurrence backend: "pallas" = the fused Pallas kernel
 # (mgr_tpu.ops.pallas_kernels) that keeps weights and carries in VMEM
 # across the whole sequence (2.8x faster than the lax.scan path on v5e);
-# "xla" = lax.scan; "auto" = pallas on TPU, xla elsewhere.
-RECURRENT_BACKEND = "auto"
+# "xla" = lax.scan; "auto" = pallas on TPU, xla elsewhere. The policy —
+# including the shard_map-local context that keeps the fused kernels
+# engaged under multi-device data parallelism — lives in
+# mgr_tpu.ops.dispatch; these wrappers are the historical public surface.
+from mgr_tpu.ops import dispatch as _dispatch
 
 
 def use_pallas(enable: bool = True) -> None:
-    global RECURRENT_BACKEND
-    RECURRENT_BACKEND = "pallas" if enable else "xla"
+    _dispatch.set_mode("pallas" if enable else "xla")
 
 
 def _pallas_active() -> bool:
-    if RECURRENT_BACKEND == "pallas":
-        return True
-    if RECURRENT_BACKEND == "xla":
-        return False
-    try:
-        # Auto mode engages the fused kernels on single-chip TPU runs.
-        # Under multi-device pjit, GSPMD treats a pallas_call as a black
-        # box (operands would be all-gathered), so auto falls back to
-        # the partitionable lax.scan path until the kernels are wrapped
-        # in shard_map over the data axis (see CLAUDE.md backlog).
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
-    except Exception:  # pragma: no cover
-        return False
+    return _dispatch.pallas_ok()
 
 
 def _recurrent_scan(

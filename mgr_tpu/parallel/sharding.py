@@ -27,6 +27,19 @@ def batch_pspec(mesh: Mesh) -> P:
     return P(data_axis)
 
 
+def dp_only(mesh: Mesh) -> bool:
+    """True when every non-leading axis is trivial — the mesh is pure
+    data parallelism. Pure-DP meshes take the shard_map train step that
+    keeps the fused Pallas kernels engaged per device; meshes with a
+    real model/time axis use the GSPMD path (XLA scan kernels)."""
+    data_axis = mesh.axis_names[0]
+    return all(
+        size == 1
+        for name, size in mesh.shape.items()
+        if name != data_axis
+    )
+
+
 def _leaf_pspec(path: str, leaf, model_axis: str) -> P:
     """Sharding rule for a single parameter leaf, keyed by its name/rank."""
     ndim = getattr(leaf, "ndim", 0)

@@ -91,8 +91,10 @@ def fit(
         train_step = make_indexed_train_step(model)
         eval_step = make_indexed_eval_step(model)
     else:
-        train_step = make_train_step(model)
-        eval_step = make_eval_step(model)
+        # Pure-DP meshes get the shard_map step (fused Pallas kernels
+        # stay engaged per device); tp/sp meshes the GSPMD step.
+        train_step = make_train_step(model, mesh=mesh)
+        eval_step = make_eval_step(model, mesh=mesh)
     metrics = metrics or MetricsLogger(
         workdir, stamp,
         num_chips=1 if mesh is None else mesh.devices.size,
@@ -199,7 +201,10 @@ def fit(
             _save("best")
         else:
             wait += 1
-            if wait > cfg.patience:
+            # Keras EarlyStopping semantics: stop once `wait` REACHES
+            # patience (speech_lstm_ctc_words.py:167-169 uses patience=20
+            # with Keras 2.1.4, whose callback breaks on wait >= patience).
+            if wait >= cfg.patience:
                 break
         if plateau is not None and val_loss is not None:
             lr_scale = plateau.update(val_loss)
