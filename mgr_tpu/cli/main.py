@@ -40,6 +40,12 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
                    help="write checkpoints from a background thread")
     p.add_argument("--cache-dir", default=None,
                    help="persist featurized corpora (.npz) across runs")
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="gradient-accumulation microbatches per step: "
+                        "activation memory drops to batch/accum-steps, so "
+                        "effective batch can exceed the HBM ceiling")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the preset learning rate")
 
 
 def _config_for(args, name: str):
@@ -51,6 +57,20 @@ def _config_for(args, name: str):
         over["batch_size"] = args.batch_size
     if getattr(args, "true_lengths", False):
         over["ctc"] = cfglib.CTCConfig(padded_length_parity=False)
+    import dataclasses as _dc
+    opt_over = {}
+    accum = getattr(args, "accum_steps", None)
+    if accum is not None:
+        if accum < 1:
+            raise SystemExit(f"--accum-steps must be >= 1, got {accum}")
+        opt_over["accum_steps"] = accum
+    lr = getattr(args, "lr", None)
+    if lr is not None:
+        if lr <= 0:
+            raise SystemExit(f"--lr must be > 0, got {lr}")
+        opt_over["learning_rate"] = lr
+    if opt_over:
+        over["optimizer"] = _dc.replace(cfg.optimizer, **opt_over)
     if getattr(args, "compute_dtype", None):
         over["compute_dtype"] = args.compute_dtype
     if getattr(args, "mesh", None):

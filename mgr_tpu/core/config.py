@@ -59,6 +59,13 @@ class OptimizerConfig:
     beta2: float = 0.999
     eps: float = 1e-7  # Keras 2.x default epsilon
     maxnorm: Optional[float] = 3.0  # kernel max-norm constraint (None = off)
+    # Gradient accumulation: the train step splits its batch into
+    # `accum_steps` microbatches and scans over them, so activation
+    # memory is O(batch/accum_steps) — effective batch can exceed the
+    # single-chip HBM ceiling (B=128 with the fused kernels at the
+    # speech geometry). Gradients average across microbatches; one
+    # optimizer update per step.
+    accum_steps: int = 1
 
 
 @dataclass(frozen=True)

@@ -74,6 +74,35 @@ def test_train_and_decode_skeletal(corpus, tmp_path, capsys, monkeypatch):
     assert "accuracy" in metrics and np.isfinite(metrics["accuracy"])
 
 
+def test_train_accum_steps_and_lr_flags(corpus, tmp_path, capsys,
+                                        monkeypatch):
+    workdir = str(tmp_path / "runs")
+    from mgr_tpu.core import config as cfglib
+
+    small = cfglib.get_preset("skeletal").replace(
+        maxlen=32, batch_size=2, compute_dtype="float32",
+        encoder=cfglib.EncoderConfig(hidden=4, depth=2, input_noise=0.1,
+                                     dropout=(0.1, 0.1), output_dropout=0.1),
+    )
+    monkeypatch.setitem(cfglib.PRESETS, "skeletal", lambda: small)
+
+    rc = cli_main([
+        "train", "skeletal",
+        "--skeletal-csv", corpus["sk_csv"],
+        "--labels", corpus["sk_labels"],
+        "--workdir", workdir,
+        "--epochs", "1",
+        "--accum-steps", "2",
+        "--lr", "1e-3",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["best_val_loss"])
+    saved = json.load(open(os.path.join(workdir, "skeletal_config.json")))
+    assert saved["optimizer"]["accum_steps"] == 2
+    assert saved["optimizer"]["learning_rate"] == 1e-3
+
+
 def test_mix_command(tmp_path, capsys):
     import pandas as pd
 

@@ -192,6 +192,51 @@ def test_indexed_steps_match_host_batch_path():
     )
 
 
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 over one B=16 batch == the plain B=16 step: same
+    loss and same post-update params (deterministic config, XLA path).
+    VERDICT r1 item 5."""
+    B = 16
+    base = _tiny_speech(
+        batch_size=B,
+        optimizer=cfglib.OptimizerConfig(learning_rate=5e-3),
+    )
+    accum = base.replace(
+        optimizer=cfglib.OptimizerConfig(learning_rate=5e-3, accum_steps=4)
+    )
+    batch = _batch(base, jax.random.key(1), B=B)
+    results = {}
+    for name, cfg in (("full", base), ("accum", accum)):
+        model = build_model(cfg)
+        state = create_train_state(model, jax.random.key(0))
+        step = make_train_step(model)
+        for i in range(3):
+            state, m = step(state, batch, jax.random.key(i), 1.0)
+        results[name] = (float(m["loss"]), jax.tree.map(np.asarray,
+                                                        state.params))
+    np.testing.assert_allclose(results["full"][0], results["accum"][0],
+                               rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(results["full"][1]),
+        jax.tree.leaves(results["accum"][1]),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accumulation_rejects_indivisible_batch():
+    import pytest
+
+    cfg = _tiny_speech(
+        optimizer=cfglib.OptimizerConfig(accum_steps=3)
+    )
+    model = build_model(cfg)
+    state = create_train_state(model, jax.random.key(0))
+    step = make_train_step(model)
+    batch = _batch(cfg, jax.random.key(1), B=4)  # 4 % 3 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, batch, jax.random.key(2), 1.0)
+
+
 def test_epoch_indices_matches_epoch():
     from mgr_tpu.data.batcher import Batcher
 
