@@ -11,8 +11,9 @@ HTK-specific conventions honored (they differ from librosa/python_speech_feature
   * pre-emphasis is applied WITHIN each frame (s[n] -= k*s[n-1], s[0]
     scaled by (1-k)), after framing;
   * the filterbank sums MAGNITUDE spectrum (not power);
-  * mel filters are triangular between uniformly mel-spaced centers from
-    0 to Nyquist;
+  * mel filters are triangular IN THE MEL DOMAIN between uniformly
+    mel-spaced centers from 0 to Nyquist (HSigP.c loChan/loWt — not the
+    Hz-domain triangles librosa builds);
   * DCT-II with sqrt(2/N) scaling; C0 = sqrt(2/N) * sum(log mel)
     appended after c1..c12 (HTK MFCC_0 ordering);
   * liftering c_j *= 1 + (L/2) sin(pi j / L);
@@ -64,20 +65,30 @@ def _mel_to_hz(m):
 
 @functools.lru_cache(maxsize=8)
 def _mel_filterbank(cfg: MFCCConfig) -> np.ndarray:
-    """(fft_size//2 + 1, num_filters) triangular filters (host constant)."""
+    """(fft_size//2 + 1, num_filters) triangular filters (host constant).
+
+    HTK-exact: triangles are linear in the MEL domain (HSigP.c's
+    loChan/loWt scatter interpolates each FFT bin's mel value between
+    uniformly mel-spaced channel centers), NOT in Hz as librosa /
+    python_speech_features build them — the two differ by a few percent
+    per filter. Channel centers sit at c * melmax / (P + 1),
+    c = 1..P+1, with mlo = 0; HTK's bin range klo=2..khi=N/2 (1-based)
+    excludes DC and Nyquist, both of which get zero weight here anyway
+    (the triangles vanish at mel 0 and melmax)."""
     n_bins = cfg.fft_size // 2 + 1
-    nyquist = cfg.sample_rate / 2.0
-    mel_points = np.linspace(
-        _hz_to_mel(0.0), _hz_to_mel(nyquist), cfg.num_filters + 2
+    P = cfg.num_filters
+    mhi = _hz_to_mel(cfg.sample_rate / 2.0)
+    # cf[0] = mlo = 0; cf[1..P] channel centers; cf[P+1] = mhi boundary.
+    cf = np.arange(P + 2) * (mhi / (P + 1))
+    bin_mels = _hz_to_mel(
+        np.arange(n_bins) * cfg.sample_rate / cfg.fft_size
     )
-    hz_points = _mel_to_hz(mel_points)
-    bin_freqs = np.linspace(0.0, nyquist, n_bins)
-    fb = np.zeros((n_bins, cfg.num_filters), np.float32)
-    for m in range(cfg.num_filters):
-        lo, mid, hi = hz_points[m], hz_points[m + 1], hz_points[m + 2]
-        up = (bin_freqs - lo) / max(mid - lo, 1e-8)
-        down = (hi - bin_freqs) / max(hi - mid, 1e-8)
-        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    fb = np.zeros((n_bins, P), np.float32)
+    for m in range(1, P + 1):
+        lo, mid, hi = cf[m - 1], cf[m], cf[m + 1]
+        up = (bin_mels - lo) / (mid - lo)
+        down = (hi - bin_mels) / (hi - mid)
+        fb[:, m - 1] = np.maximum(0.0, np.minimum(up, down))
     return fb
 
 

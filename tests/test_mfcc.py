@@ -84,3 +84,75 @@ def test_jit_compatible():
     f = jax.jit(lambda s: mfcc.mfcc_39(s, CFG))
     out = f(sig)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# Golden-vector validation against an independent HTK transliteration
+# (tests/htk_ref.py: scalar loops following HSigP.c/HParm.c and the HTK
+# Book; /root/reference/config_HCopy:1-13 parameters). VERDICT r1 item 3.
+# ---------------------------------------------------------------------------
+
+from htk_ref import htk_mfcc39  # noqa: E402
+
+
+def _sig_tone_noise():
+    rng = np.random.default_rng(42)
+    t = np.arange(8000) / 16000.0
+    return (
+        (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1330 * t + 0.7)
+         + 0.05 * rng.standard_normal(8000)) * 8000.0
+    ).astype(np.float32)
+
+
+def _sig_chirp():
+    t = np.arange(6400) / 16000.0
+    f = 200.0 + (3000.0 - 200.0) * t / t[-1]
+    return (
+        6000.0 * np.sin(2 * np.pi * np.cumsum(f) / 16000.0)
+    ).astype(np.float32)
+
+
+# Precomputed with tests/htk_ref.py (float64): selected frames of the
+# 39-d HTK MFCC_0+Δ+ΔΔ output. Frozen literals so a change to EITHER
+# implementation trips the test.
+GOLDEN_TONE_NOISE = {  # T=48
+    0: [-17.699911, -7.989480, -11.565618, -9.137783, -12.876992, -21.264188, -26.382846, -6.345981, 9.562253, 22.632417, 9.333747, 2.991258, 73.589899, 0.442791, 1.221542, 0.550192, 1.151842, 0.804610, 0.977483, 1.666714, -0.582900, 2.021133, 0.526181, -0.058994, -1.101618, 0.123748, -0.080132, -0.088628, 0.122599, -0.068519, 0.124027, -0.226873, -0.542653, 0.010401, -0.208356, -0.115235, 0.072916, 0.140099, -0.015019],
+    24: [-16.853222, -6.999832, -13.411416, -9.089872, -12.968244, -22.523537, -24.595472, -10.751638, 10.597599, 19.547818, 7.346018, -1.203194, 73.337410, -0.441308, -0.077541, -0.609575, -0.150276, -0.044549, -0.997372, -0.520588, -0.145524, -0.607058, 2.070095, 1.082306, -0.347117, -0.147175, 0.036489, 0.187894, 0.109264, 0.242542, 0.249579, 0.147928, 0.179923, 0.463075, 0.103681, 0.476716, 0.362944, -0.046679, 0.023372],
+    47: [-17.338167, -4.836366, -11.563666, -5.413600, -10.640612, -21.270681, -26.450838, -6.225100, 17.022742, 23.692559, 8.294619, 4.201555, 73.485178, -0.128578, -0.028076, 0.032729, 0.174894, -0.857061, -0.981686, -0.939724, 1.039608, 1.038170, 0.843520, -0.818599, 0.333799, -0.103077, 0.024255, 0.145830, -0.103608, 0.100597, -0.113248, -0.149731, -0.198868, 0.001572, 0.212731, 0.190600, -0.045539, -0.255321, -0.056641],
+}
+GOLDEN_CHIRP = {  # T=38
+    0: [12.917312, 13.063633, 6.144492, -1.304317, -11.842350, -19.426321, -25.048056, -25.195326, -22.139767, -15.458968, -8.124852, -1.286685, 51.115923, -0.523501, -1.304611, -3.151383, -4.121855, -3.964341, -2.148744, 0.842192, 4.248006, 6.887663, 7.933569, 6.956917, 4.634280, 0.625059, -0.069505, -0.578714, -0.585838, -0.556235, 0.053299, 0.918227, 1.728106, 1.919227, 1.344283, 0.198633, -0.939249, -1.585569, 0.176884],
+    19: [-2.329253, -21.403386, -7.452131, 21.928376, 8.409750, -22.594876, -14.764139, 18.502683, 15.070989, -14.563839, -16.598695, 8.319094, 61.184387, -0.039614, 0.135100, 2.540052, 1.089974, -4.301377, -2.661650, 5.483970, 4.411789, -5.705982, -5.891153, 4.810014, 6.316495, 0.162024, 0.185932, 0.064569, 0.035690, -0.564416, -0.214276, 1.202247, 0.817368, -1.729738, -1.582799, 1.884852, 2.310521, -1.530757, -0.063314],
+    37: [-13.102694, -12.855579, 19.873965, -8.076392, -16.251836, 23.212122, -5.774929, -17.642179, 21.426421, -2.181217, -17.195758, 17.078074, 63.270887, -0.727111, 0.958580, -0.210884, -0.672452, 0.937440, 0.836791, -1.834796, 1.252570, 1.473618, -2.102590, 0.468765, 2.158503, 0.101265, 0.017934, -0.066379, -0.142232, 0.421977, -0.244528, -0.442288, 0.768487, -0.143364, -0.847516, 0.910463, 0.142997, -1.060495, -0.005116],
+}
+
+
+@pytest.mark.parametrize(
+    "make_sig,golden,T_want",
+    [(_sig_tone_noise, GOLDEN_TONE_NOISE, 48),
+     (_sig_chirp, GOLDEN_CHIRP, 38)],
+    ids=["tone_noise", "chirp"],
+)
+def test_golden_htk_vectors(make_sig, golden, T_want):
+    """Per-coefficient agreement with frozen HTK-convention outputs."""
+    out = np.asarray(mfcc.mfcc_39(jnp.asarray(make_sig()), CFG))
+    assert out.shape == (T_want, 39)
+    for row, want in golden.items():
+        np.testing.assert_allclose(
+            out[row], np.asarray(want), rtol=1e-4, atol=1e-3,
+            err_msg=f"frame {row}",
+        )
+
+
+@pytest.mark.parametrize(
+    "make_sig", [_sig_tone_noise, _sig_chirp], ids=["tone_noise", "chirp"]
+)
+def test_full_agreement_with_htk_reference(make_sig):
+    """Every frame and coefficient agrees with the independent scalar
+    HTK transliteration (fp32-vs-fp64 rounding only)."""
+    sig = make_sig()
+    want = htk_mfcc39(sig)
+    got = np.asarray(mfcc.mfcc_39(jnp.asarray(sig), CFG))
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
