@@ -1,13 +1,17 @@
 """ctypes bindings for the native CSV parser (mgr_tpu/native/fastcsv.cpp).
 
 The shared library builds on demand with g++ the first time it's needed
-and caches next to the source. Every entry point degrades gracefully to
-a NumPy fallback, so the framework works on hosts without a toolchain.
+and caches under ``$MGR_TPU_CACHE`` (default ``~/.cache/mgr_tpu``),
+keyed by a hash of the source so edits rebuild automatically. No
+prebuilt binary ships in the tree. Every entry point degrades
+gracefully to a NumPy fallback, so the framework works on hosts
+without a toolchain.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,19 +22,31 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "native")
 _SRC = os.path.join(_NATIVE_DIR, "fastcsv.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libfastcsv.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _lib_path() -> str:
+    cache = os.environ.get(
+        "MGR_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "mgr_tpu"),
+    )
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    return os.path.join(cache, f"libfastcsv-{tag}.so")
+
+
+def _build(lib_path: str) -> bool:
     try:
+        os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+        tmp = lib_path + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, lib_path)  # atomic vs concurrent builders
         return True
     except Exception:
         return False
@@ -42,10 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) and not _build():
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path) and not _build(lib_path):
             return None
         try:
-            lib = ctypes.CDLL(_LIB)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             return None
         lib.fastcsv_load.restype = ctypes.c_int
