@@ -1,8 +1,9 @@
-"""Benchmark: flagship speech BLSTM+CTC training throughput on one chip.
+"""Benchmark: flagship speech BLSTM+CTC throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line; primary metric first:
   {"metric": "train_seqs_per_sec_per_chip", "value": N, "unit": "seq/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "spread": {...}, "decode_seqs_per_sec_per_chip": N,
+   "decode_spread": {...}}
 
 Baseline derivation (BASELINE.md): the reference trains the full
 3-stage system in ~100 h on a GTX 1060 at batch 2 over ~1900-frame
@@ -10,15 +11,20 @@ padded sequences — an implied train throughput of roughly 1.5
 sequences/sec (SURVEY.md §6 "implied throughput floor"). vs_baseline is
 measured seq/s divided by that 1.5 seq/s floor.
 
-The benched step is the REAL train step at reference geometry — full
-speech preset (BiLSTM(500)x2 over 1900 frames, 44-way CTC, Adam +
-clip + maxnorm) — on synthetic data, jitted once, timed over repeated
-steps with device sync.
+Methodology: the REAL train step at reference geometry — full speech
+preset (BiLSTM(500)x2 over 1900 frames, 44-way CTC, Adam + clip +
+maxnorm) — on synthetic data, jitted once. REPEATS x TIMED_STEPS steps
+with a scalar host fetch as the sync (block_until_ready does not hard-
+sync through the relay); value reported is the MEDIAN repeat, with the
+min/max spread so regressions are distinguishable from relay jitter
+(VERDICT r1 item 10). The decode benchmark times the fused
+predict+best-path step (make_decode_step) the same way.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import jax
@@ -29,22 +35,13 @@ REFERENCE_SEQS_PER_SEC = 1.5
 BATCH = 128  # fits HBM with the fused Pallas recurrence + bf16 activations
 WARMUP_STEPS = 2
 TIMED_STEPS = 10
+REPEATS = 3
 
 
-def main() -> None:
-    from mgr_tpu.core import config as cfglib
-    from mgr_tpu.core import prng
-    from mgr_tpu.models import build_model
-    from mgr_tpu.train import create_train_state, make_train_step
-
-    cfg = cfglib.get_preset("speech").replace(batch_size=BATCH)
-    model = build_model(cfg)
-    state = create_train_state(model, prng.root_key(cfg.seed))
-    step = make_train_step(model)
-
+def _make_batch(cfg, B):
     rng = np.random.default_rng(0)
-    B, T, F = BATCH, cfg.maxlen, cfg.num_feats
-    batch = {
+    T, F = cfg.maxlen, cfg.num_feats
+    return {
         "inputs": jnp.asarray(
             rng.standard_normal((B, T, F)).astype(np.float32)
         ),
@@ -59,23 +56,70 @@ def main() -> None:
         "label_length": jnp.full((B,), 8, jnp.int32),
     }
 
+
+def _bench_train(cfg, model):
+    from mgr_tpu.core import prng
+    from mgr_tpu.train import create_train_state, make_train_step
+
+    state = create_train_state(model, prng.root_key(cfg.seed))
+    step = make_train_step(model)
+    batch = _make_batch(cfg, BATCH)
     key = jax.random.key(0)
+
     for i in range(WARMUP_STEPS):
         state, metrics = step(state, batch, jax.random.fold_in(key, i), 1.0)
-    float(metrics["loss"])  # host fetch: hard sync (block_until_ready can
-    # return before remote execution finishes on relayed PJRT backends)
+    float(metrics["loss"])  # scalar fetch: hard sync through the relay
 
-    t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        state, metrics = step(
-            state, batch, jax.random.fold_in(key, 100 + i), 1.0
-        )
-    float(metrics["loss"])  # hard sync
-    dt = time.perf_counter() - t0
+    rates = []
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        for i in range(TIMED_STEPS):
+            state, metrics = step(
+                state, batch,
+                jax.random.fold_in(key, 100 + r * TIMED_STEPS + i), 1.0,
+            )
+        float(metrics["loss"])  # hard sync
+        rates.append(BATCH * TIMED_STEPS / (time.perf_counter() - t0))
+    return rates
 
-    seqs_per_sec = BATCH * TIMED_STEPS / dt
+
+def _bench_decode(cfg, model, params):
+    from mgr_tpu.train.step import make_decode_step
+
+    step = make_decode_step(model, threshold=0.75, trim_frames=2)
+    inputs = _make_batch(cfg, BATCH)["inputs"]
+    lengths = jnp.full((BATCH,), cfg.maxlen, jnp.int32)
+
+    best, emit = step(params, inputs, lengths)
+    int(best[0, 0])  # scalar fetch: hard sync
+
+    rates = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(TIMED_STEPS):
+            best, emit = step(params, inputs, lengths)
+        int(best[0, 0])  # hard sync
+        rates.append(BATCH * TIMED_STEPS / (time.perf_counter() - t0))
+    return rates
+
+
+def main() -> None:
+    from mgr_tpu.core import config as cfglib
+    from mgr_tpu.core import prng
+    from mgr_tpu.models import build_model
+    from mgr_tpu.train import create_train_state
+
+    cfg = cfglib.get_preset("speech").replace(batch_size=BATCH)
+    model = build_model(cfg)
     n_chips = max(len(jax.devices()), 1)
-    value = seqs_per_sec / n_chips
+
+    train_rates = sorted(r / n_chips for r in _bench_train(cfg, model))
+    params = create_train_state(model, prng.root_key(cfg.seed)).params
+    decode_rates = sorted(r / n_chips for r in _bench_decode(cfg, model,
+                                                             params))
+
+    value = statistics.median(train_rates)
+    dec_value = statistics.median(decode_rates)
     print(
         json.dumps(
             {
@@ -83,6 +127,16 @@ def main() -> None:
                 "value": round(value, 3),
                 "unit": "seq/s",
                 "vs_baseline": round(value / REFERENCE_SEQS_PER_SEC, 2),
+                "spread": {
+                    "min": round(train_rates[0], 3),
+                    "max": round(train_rates[-1], 3),
+                    "repeats": REPEATS,
+                },
+                "decode_seqs_per_sec_per_chip": round(dec_value, 3),
+                "decode_spread": {
+                    "min": round(decode_rates[0], 3),
+                    "max": round(decode_rates[-1], 3),
+                },
             }
         )
     )

@@ -37,15 +37,27 @@ def write_label_csv(path: str, labels: Dict[int, List[int]]) -> None:
             f.write(f"{fid},{' '.join(str(x) for x in seq)}\n")
 
 
+def _class_signature(c: int, F: int) -> np.ndarray:
+    """Deterministic per-class mean vector. Every class gets a DISTINCT
+    signature (seeded by the class id), so the corpus is genuinely
+    separable: a correct model can both memorize the train split and
+    generalize to unseen files. (An earlier scalar `(c % 7) - 3` made
+    classes collide mod 7 — unlearnable except by memorization, which
+    capped what e2e learning tests could assert.)"""
+    return np.random.default_rng(10_000 + c).uniform(
+        -2.5, 2.5, size=F
+    ).astype(np.float32)
+
+
 def _class_signal(
     rng: np.random.Generator, seq: Sequence[int], frames_per: int, F: int
 ) -> np.ndarray:
     """Per-class mean-shifted noise blocks, one block per label."""
     blocks = []
     for c in seq:
-        mean = (c % 7) - 3.0
         blocks.append(
-            rng.normal(mean, 1.0, size=(frames_per, F)).astype(np.float32)
+            (_class_signature(int(c), F)
+             + rng.normal(0.0, 1.0, size=(frames_per, F))).astype(np.float32)
         )
     return np.concatenate(blocks, axis=0)
 

@@ -71,14 +71,20 @@ def test_config_roundtrip(tmp_path):
 
 def test_early_stopping(speech_data, tmp_path):
     data_dir, label_file = speech_data
-    # lr=0 so nothing improves; patience 1 -> stops after ~3 epochs.
-    cfg = _speech_cfg(
-        optimizer=cfglib.OptimizerConfig(learning_rate=0.0), patience=1
-    )
-    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
-    model = build_model(cfg)
-    res = fit(model, ds, workdir=None, epochs=50)
-    assert res.epochs_run <= 4
+    # lr=0 so nothing improves. Keras EarlyStopping semantics: epoch 0
+    # establishes the best; each later epoch bumps `wait`, stopping when
+    # wait >= patience — so patience=1 stops at epoch 1 (2 epochs total)
+    # and patience=2 at epoch 2 (3 total). Exact counts guard the
+    # off-by-one vs keras (VERDICT r1 item 6).
+    for patience, expect in [(1, 2), (2, 3)]:
+        cfg = _speech_cfg(
+            optimizer=cfglib.OptimizerConfig(learning_rate=0.0),
+            patience=patience,
+        )
+        ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+        model = build_model(cfg)
+        res = fit(model, ds, workdir=None, epochs=50)
+        assert res.epochs_run == expect, (patience, res.epochs_run)
 
 
 def test_checkpoint_state_roundtrip_exact(tmp_path):
