@@ -32,6 +32,8 @@ MODE = "auto"
 
 _SHARD_LOCAL = contextvars.ContextVar("mgr_tpu_pallas_shard_local",
                                       default=False)
+_DIR_SHARD_AXIS = contextvars.ContextVar("mgr_tpu_direction_shard_axis",
+                                         default=None)
 
 
 def set_mode(mode: str) -> None:
@@ -56,6 +58,25 @@ def shard_local():
 
 def in_shard_local() -> bool:
     return _SHARD_LOCAL.get()
+
+
+@contextlib.contextmanager
+def direction_shard(axis: str):
+    """Trace-time marker: BLSTM layers inside split their two scan
+    directions over mesh axis ``axis`` (size 2) — the direction-sharded
+    tensor-parallel path (docs/PARALLELISM.md). Implies shard-local
+    (the body runs per device under shard_map)."""
+    token = _DIR_SHARD_AXIS.set(axis)
+    try:
+        with shard_local():
+            yield
+    finally:
+        _DIR_SHARD_AXIS.reset(token)
+
+
+def direction_shard_axis():
+    """Mesh axis name when direction-sharded TP is active, else None."""
+    return _DIR_SHARD_AXIS.get()
 
 
 def _on_tpu() -> bool:

@@ -269,6 +269,108 @@ def bilstm_layer(
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 
+def bilstm_layer_tm_dirsharded(
+    params: Params,
+    x_tm: jax.Array,
+    *,
+    axis: str,
+    rng: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    per_gate: bool = False,
+    train: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Direction-sharded BLSTM for tensor parallelism: (T, B, F) ->
+    (T, B, 2H) inside a ``shard_map`` body whose mesh axis ``axis`` has
+    size 2. Device d computes ONLY direction d — its projection, its
+    single-direction fused scan (``pallas_lstm_tm``) — then the two
+    h-streams all_gather over ``axis`` and concat. The serial per-step
+    dot chain halves per chip with zero per-step collectives; weights
+    stay replicated (they are ~MBs — sharding COMPUTE, not storage, is
+    the honest TPU treatment of a 2-direction RNN; an H-sharded variant
+    would psum every one of the T steps).
+
+    Numerics match :func:`bilstm_layer_tm` exactly: same projection
+    math, same per-direction dropout keys (fold_in(rng, d)), same scan
+    kernels per direction.
+    """
+    if train and dropout > 0.0 and rng is None:
+        raise ValueError("dropout requires an rng key in train mode")
+    T, B, F = x_tm.shape
+    d = jax.lax.axis_index(axis)
+    # Dynamic gather of direction d's weights: the gradient scatters
+    # back into slot d of the stacked (2, ...) params, so a psum over
+    # ``axis`` reassembles the full dW/dU/db (train.step's grad rule).
+    Wd = params["W"][d]
+    Ud = params["U"][d]
+    bd = params["b"][d]
+    xc = x_tm.astype(compute_dtype)
+    Wc = Wd.astype(compute_dtype)
+
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        rngd = jax.random.fold_in(rng, d)
+        if per_gate:
+            mask = (
+                jax.random.bernoulli(rngd, keep, (4, B, F)).astype(
+                    compute_dtype
+                )
+                / keep
+            )
+            xp = jnp.einsum(
+                "gtbf,fgh->tbgh", xc[None] * mask[:, None], Wc,
+                preferred_element_type=jnp.float32,
+            )
+            xp = (xp + bd[None, None]).astype(compute_dtype)
+        else:
+            mask = (
+                jax.random.bernoulli(rngd, keep, (B, F)).astype(
+                    compute_dtype
+                )
+                / keep
+            )
+            xp = jnp.einsum(
+                "tbf,fgh->tbgh", xc * mask[None], Wc,
+                preferred_element_type=jnp.float32,
+            )
+            xp = (xp + bd[None, None]).astype(compute_dtype)
+    else:
+        xp = jnp.einsum(
+            "tbf,fgh->tbgh", xc, Wc, preferred_element_type=jnp.float32
+        )
+        xp = (xp + bd[None, None]).astype(compute_dtype)
+
+    if _pallas_active():
+        from mgr_tpu.ops.pallas_kernels import pallas_lstm_tm
+
+        hs = jax.lax.cond(
+            d == 0,
+            lambda ops: pallas_lstm_tm(ops[0], ops[1], reverse=False),
+            lambda ops: pallas_lstm_tm(ops[0], ops[1], reverse=True),
+            (xp, Ud),
+        )
+    else:
+        def scan_one(ops, reverse):
+            xp_, U_ = ops
+            x_in = jnp.flip(xp_, axis=0) if reverse else xp_
+            xp_bm = jnp.moveaxis(x_in, 0, 1)[None]  # (1, B, T, 4, H)
+            hs_ = _recurrent_scan(xp_bm, U_[None], compute_dtype, 1)[0]
+            hs_ = jnp.moveaxis(hs_, 0, 1)  # (T, B, H)
+            return (jnp.flip(hs_, axis=0) if reverse else hs_).astype(
+                jnp.float32
+            )
+
+        hs = jax.lax.cond(
+            d == 0,
+            lambda ops: scan_one(ops, False),
+            lambda ops: scan_one(ops, True),
+            (xp, Ud),
+        )
+
+    both = jax.lax.all_gather(hs.astype(compute_dtype), axis)  # (2,T,B,H)
+    return jnp.concatenate([both[0], both[1]], axis=-1)
+
+
 def lstm_layer(
     params: Params,
     x: jax.Array,
@@ -318,6 +420,14 @@ def bilstm_layer_tm(
     """
     if train and dropout > 0.0 and rng is None:
         raise ValueError("dropout requires an rng key in train mode")
+    dir_axis = _dispatch.direction_shard_axis()
+    if dir_axis is not None:
+        # Tensor-parallel context (ops.dispatch.direction_shard): this
+        # device computes one direction only.
+        return bilstm_layer_tm_dirsharded(
+            params, x_tm, axis=dir_axis, rng=rng, dropout=dropout,
+            per_gate=per_gate, train=train, compute_dtype=compute_dtype,
+        )
     T, B, F = x_tm.shape
     W, U, b = params["W"], params["U"], params["b"]
     H = U.shape[-1]

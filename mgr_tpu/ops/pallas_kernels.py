@@ -1068,3 +1068,272 @@ def pallas_bilstm_tm(
     hs0 = hs0[:T, :, :H].astype(jnp.float32)
     hs1 = hs1[:T, :, :H].astype(jnp.float32)
     return hs0, hs1
+
+
+# ---------------------------------------------------------------------------
+# Single-direction time-major kernels — the compute core of the
+# direction-sharded tensor-parallel path (docs/PARALLELISM.md): with a
+# model axis of size 2, each device runs ONE direction of the BLSTM, so
+# the per-step serial dot chain halves per chip with ZERO per-step
+# collectives (the only communication is one h-stream all_gather per
+# layer). The scan order is a STATIC parameter: the caller lax.conds
+# between the two compiled variants because its direction is a runtime
+# axis_index. Bodies are the per-direction halves of _tm_fwd_kernel /
+# _tm_bwd_kernel; chunk sizes and numerics are identical.
+# ---------------------------------------------------------------------------
+
+
+def _tm1_fwd_kernel(xp_ref, u_ref, hs_ref, cs_ref, h_scr, c_scr,
+                    *, reverse: bool):
+    """One chunk of a single-direction scan. ``reverse=True`` scans
+    original time T-1 -> 0 (blocks stream via a reversed index map, rows
+    consumed in reverse); outputs always land at original positions."""
+    c = pl.program_id(0)
+    K = xp_ref.shape[0]
+    Hp = u_ref.shape[0]
+
+    @pl.when(c == 0)
+    def _init():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    def body(k, carry):
+        h, cc = carry  # (B, Hp) f32
+        row = K - 1 - k if reverse else k
+        z = xp_ref[row].astype(jnp.float32) + jnp.dot(
+            h.astype(jnp.bfloat16), u_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        i = jnp.clip(0.2 * z[:, 0 * Hp : 1 * Hp] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, 1 * Hp : 2 * Hp] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * Hp : 3 * Hp])
+        o = jnp.clip(0.2 * z[:, 3 * Hp : 4 * Hp] + 0.5, 0.0, 1.0)
+        c_new = f * cc + i * g
+        h_new = o * jnp.tanh(c_new)
+        hs_ref[row] = h_new.astype(hs_ref.dtype)
+        cs_ref[row] = c_new.astype(cs_ref.dtype)
+        return h_new, c_new
+
+    h, cc = jax.lax.fori_loop(0, K, body, (h_scr[...], c_scr[...]))
+    h_scr[...] = h
+    c_scr[...] = cc
+
+
+def _tm1_fwd_call(xp, U1, reverse, interpret):
+    """xp (Tp, B, 4Hp) bf16, U1 (Hp, 4Hp) -> hs, cs (Tp, B, Hp) bf16."""
+    Tp, B, H4 = xp.shape
+    Hp = H4 // 4
+    K = LSTM_TM_CHUNK_FWD
+    C = Tp // K
+    m = (lambda c: (C - 1 - c, 0, 0)) if reverse else (lambda c: (c, 0, 0))
+
+    return pl.pallas_call(
+        functools.partial(_tm1_fwd_kernel, reverse=reverse),
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((K, B, H4), m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, H4), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, B, Hp), m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, Hp), m, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, Hp), jnp.float32),
+            pltpu.VMEM((B, Hp), jnp.float32),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Tp, B, Hp), jnp.bfloat16)] * 2,
+        interpret=interpret,
+    )(xp, U1)
+
+
+def _tm1_bwd_kernel(xp_ref, hs_ref, hsx_ref, cs_ref, csx_ref, dhs_ref,
+                    u_ref, dz_ref, dh_scr, dc_scr, *, reverse: bool):
+    """Adjoint chunk. For a forward scan the adjoint walks reverse
+    original time (pre-state at the previous row / previous chunk's last
+    row); for a reverse scan it walks forward (pre-state at row+1 / the
+    next chunk's first row). ``hsx_ref``/``csx_ref`` are the neighbour
+    chunk streams."""
+    rc = pl.program_id(0)
+    C = pl.num_programs(0)
+    K = dz_ref.shape[0]
+    Hp = u_ref.shape[0]
+    Tp = C * K
+
+    @pl.when(rc == 0)
+    def _init():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    def hs_grad(zx):
+        return jnp.where((zx > -2.5) & (zx < 2.5), 0.2, 0.0)
+
+    def body(i, carry):
+        dh_c, dc_c = carry  # (B, Hp) f32
+        if reverse:
+            k = i
+            t = rc * K + k
+            kn = jnp.minimum(k + 1, K - 1)
+            h_prev = jnp.where(k == K - 1, hsx_ref[0], hs_ref[kn])
+            c_prev = jnp.where(k == K - 1, csx_ref[0], cs_ref[kn])
+            boundary = t == Tp - 1
+        else:
+            k = K - 1 - i
+            t = (C - 1 - rc) * K + k
+            kn = jnp.maximum(k - 1, 0)
+            h_prev = jnp.where(k == 0, hsx_ref[K - 1], hs_ref[kn])
+            c_prev = jnp.where(k == 0, csx_ref[K - 1], cs_ref[kn])
+            boundary = t == 0
+        h_prev = jnp.where(boundary, 0.0, h_prev.astype(jnp.float32))
+        c_prev = jnp.where(boundary, 0.0, c_prev.astype(jnp.float32))
+
+        z = xp_ref[k].astype(jnp.float32) + jnp.dot(
+            h_prev.astype(jnp.bfloat16), u_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        z_i = z[:, 0 * Hp : 1 * Hp]
+        z_f = z[:, 1 * Hp : 2 * Hp]
+        z_g = z[:, 2 * Hp : 3 * Hp]
+        z_o = z[:, 3 * Hp : 4 * Hp]
+        i_g = jnp.clip(0.2 * z_i + 0.5, 0.0, 1.0)
+        f_g = jnp.clip(0.2 * z_f + 0.5, 0.0, 1.0)
+        g_g = jnp.tanh(z_g)
+        o_g = jnp.clip(0.2 * z_o + 0.5, 0.0, 1.0)
+        c_t = cs_ref[k].astype(jnp.float32)
+        tanh_c = jnp.tanh(c_t)
+        dh = dhs_ref[k].astype(jnp.float32) + dh_c
+        do = dh * tanh_c
+        dc = dc_c + dh * o_g * (1.0 - tanh_c * tanh_c)
+        dz = jnp.concatenate(
+            [
+                (dc * g_g) * hs_grad(z_i),
+                (dc * c_prev) * hs_grad(z_f),
+                (dc * i_g) * (1.0 - g_g * g_g),
+                do * hs_grad(z_o),
+            ],
+            axis=1,
+        )
+        dz_ref[k] = dz.astype(dz_ref.dtype)
+        dh_prev = jax.lax.dot_general(
+            dz.astype(jnp.bfloat16), u_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dh_prev, dc * f_g
+
+    dh, dc = jax.lax.fori_loop(0, K, body, (dh_scr[...], dc_scr[...]))
+    dh_scr[...] = dh
+    dc_scr[...] = dc
+
+
+def _tm1_bwd_call(xp, hs, cs, dhs, U1, reverse, interpret):
+    Tp, B, H4 = xp.shape
+    Hp = H4 // 4
+    K = LSTM_TM_CHUNK_BWD
+    C = Tp // K
+
+    if reverse:
+        m = lambda c: (c, 0, 0)
+        mx = lambda c: (jnp.minimum(c + 1, C - 1), 0, 0)
+    else:
+        m = lambda c: (C - 1 - c, 0, 0)
+        mx = lambda c: (jnp.maximum(C - 1 - c - 1, 0), 0, 0)
+
+    def spec(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    (dz,) = pl.pallas_call(
+        functools.partial(_tm1_bwd_kernel, reverse=reverse),
+        grid=(C,),
+        in_specs=[
+            spec((K, B, H4), m),   # xp
+            spec((K, B, Hp), m),   # hs
+            spec((K, B, Hp), mx),  # hs neighbour chunk
+            spec((K, B, Hp), m),   # cs
+            spec((K, B, Hp), mx),  # cs neighbour chunk
+            spec((K, B, Hp), m),   # dhs
+            pl.BlockSpec((Hp, H4), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[spec((K, B, H4), m)],
+        scratch_shapes=[
+            pltpu.VMEM((B, Hp), jnp.float32),
+            pltpu.VMEM((B, Hp), jnp.float32),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Tp, B, H4), jnp.bfloat16)],
+        interpret=interpret,
+    )(xp, hs, hs, cs, cs, dhs, U1)
+    return dz
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _tm1_core(xp, U1, reverse, interpret):
+    hs, _ = _tm1_fwd_call(xp, U1, reverse, interpret)
+    return hs
+
+
+def _tm1_core_fwd(xp, U1, reverse, interpret):
+    hs, cs = _tm1_fwd_call(xp, U1, reverse, interpret)
+    return hs, (xp, U1, hs, cs)
+
+
+def _tm1_core_bwd(reverse, interpret, res, dhs):
+    xp, U1, hs, cs = res
+    dz = _tm1_bwd_call(
+        xp, hs, cs, dhs.astype(jnp.bfloat16), U1, reverse, interpret
+    )
+    # Pre-state stream for dU: a forward scan's state at t comes from
+    # t-1 (zeros at t=0); a reverse scan's from t+1 (zeros at Tp-1).
+    if reverse:
+        hp = jnp.concatenate([hs[1:], jnp.zeros_like(hs[:1])], axis=0)
+    else:
+        hp = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
+    dU = jnp.einsum("tbh,tbk->hk", hp.astype(jnp.bfloat16), dz,
+                    preferred_element_type=jnp.float32)
+    return dz.astype(xp.dtype), dU.astype(U1.dtype)
+
+
+_tm1_core.defvjp(_tm1_core_fwd, _tm1_core_bwd)
+
+
+def pallas_lstm_tm(
+    xp: jax.Array, U1: jax.Array, *, reverse: bool,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-direction time-major LSTM scan.
+
+    xp: (T, B, 4, H) gate projections in ORIGINAL time order;
+    U1: (H, 4, H). ``reverse=True`` scans T-1 -> 0 (the backward
+    direction of a BLSTM; the reversal happens inside the kernel via
+    index maps — no data flip). Returns the h stream (T, B, H) float32
+    in original time order. Differentiable in both arguments.
+
+    ``reverse`` is static: the direction-sharded TP path lax.conds
+    between the two variants since its direction is a runtime
+    axis_index (mgr_tpu.ops.lstm.bilstm_layer_tm_dirsharded).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    T, B, _, H = xp.shape
+    Hp = _round_up(H, LANE)
+    pad = Hp - H
+    step_mult = max(LSTM_TM_CHUNK_FWD, LSTM_TM_CHUNK_BWD)
+    Tp = _round_up(T, step_mult)
+
+    if pad:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        U1 = jnp.pad(U1, ((0, pad), (0, 0), (0, pad)))
+    xp = xp.reshape(T, B, 4 * Hp)
+    if Tp != T:
+        # Padded steps sit at the END in storage order. A reverse scan
+        # consumes them FIRST; their zero projections only decay the
+        # zero initial state through the gate math (h stays exactly 0
+        # through tanh/hard-sigmoid with zero input and zero carry is
+        # NOT true — gates at z=0 give i=f=o=0.5, g=0, so c stays 0 and
+        # h stays 0; state entering the real steps is unchanged).
+        xp = jnp.pad(xp, ((0, Tp - T), (0, 0), (0, 0)))
+    Uf = U1.reshape(Hp, 4 * Hp).astype(jnp.bfloat16)
+
+    hs = _tm1_core(xp.astype(jnp.bfloat16), Uf, reverse, interpret)
+    return hs[:T, :, :H].astype(jnp.float32)

@@ -40,6 +40,25 @@ def dp_only(mesh: Mesh) -> bool:
     )
 
 
+def shardmap_axes(mesh: Mesh):
+    """(data_axis, model_axis_or_None) when the mesh is served by the
+    shard_map fast path: pure DP, or DP x a size-2 'model' axis
+    (direction-sharded TP — each device runs one BLSTM direction with
+    the fused single-direction kernel). Returns None when the mesh needs
+    the GSPMD path (model axis != 2, or a non-trivial time axis: the
+    sequence-parallel projection sharding only exists under GSPMD)."""
+    data_axis = mesh.axis_names[0]
+    model_axis = None
+    for name, size in mesh.shape.items():
+        if name == data_axis or size == 1:
+            continue
+        if name == "model" and size == 2:
+            model_axis = name
+        else:
+            return None
+    return data_axis, model_axis
+
+
 def _leaf_pspec(path: str, leaf, model_axis: str) -> P:
     """Sharding rule for a single parameter leaf, keyed by its name/rank."""
     ndim = getattr(leaf, "ndim", 0)
@@ -66,7 +85,16 @@ def _path_str(path) -> str:
 
 
 def param_pspecs(params: Params, mesh: Mesh) -> Params:
-    """PartitionSpec pytree matching ``params``."""
+    """PartitionSpec pytree matching ``params``.
+
+    Meshes served by the shard_map fast path (:func:`shardmap_axes`)
+    replicate everything: pure DP replicates by definition, and the
+    direction-sharded TP path shards COMPUTE (one scan direction per
+    model-axis device), not weight storage — the stacked (2, ...) BLSTM
+    params are a few MB and each device dynamically gathers its slot.
+    The H-sharding rules below only apply to GSPMD meshes."""
+    if shardmap_axes(mesh) is not None:
+        return jax.tree.map(lambda _: P(), params)
     model_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
     model_size = mesh.shape.get(model_axis, 1) if model_axis else 1
 

@@ -141,8 +141,28 @@ def _apply_updates(model: ModelDef, state: TrainState, tx, loss, grads,
     return new_state, {"loss": loss, "grad_norm": grad_norm}
 
 
-def _make_shardmap_train_step(model: ModelDef, mesh):
-    """Pure-DP train step built on ``shard_map``.
+def _combine_model_grads(grads, model_axis: str):
+    """Uniform pmean over the direction-TP axis is exact for EVERY leaf.
+
+    Each model-device's value_and_grad runs inside the shard_map body,
+    so the all_gather of the per-direction h-streams transposes to a
+    psum_scatter: the cotangent reaching direction d's stream sums BOTH
+    devices' (identical, redundantly computed) downstream losses — a
+    uniform 2x on every direction-scattered leaf (blstm W/U/b arrive
+    slot-scattered: device d holds 2x dW[d], zeros elsewhere) and on
+    every via-direction path into shared leaves below the BLSTM (each
+    device holds 2x the via-its-direction HALF of e.g. a CNN grad).
+    Purely-local paths (the dense head above the gather) arrive 1x and
+    identical on both devices. pmean maps all three cases to the exact
+    single-device gradient: (2x slot + 0)/2, (2x half_a + 2x half_b)/2,
+    (g + g)/2. Verified leaf-by-leaf in
+    tests/test_tp_dirsharded.py::test_dirsharded_grads_match_single_device.
+    """
+    return jax.tree.map(lambda g: jax.lax.pmean(g, model_axis), grads)
+
+
+def _make_shardmap_train_step(model: ModelDef, mesh, model_axis=None):
+    """shard_map train step: pure DP, or DP x direction-sharded TP.
 
     Each device computes loss/grads over its LOCAL batch shard; inside
     the shard_map body the fused Pallas BLSTM/CTC kernels stay engaged
@@ -155,6 +175,14 @@ def _make_shardmap_train_step(model: ModelDef, mesh):
     Batch is embarrassingly parallel for all three kernels (recurrence,
     CTC forward, CTC/LSTM backward), so per-device results are
     bitwise-identical to the single-device kernels on the same rows.
+
+    With ``model_axis`` (size-2 'model' axis), BLSTM layers additionally
+    split their two scan directions across the axis
+    (``ops.dispatch.direction_shard`` -> ``bilstm_layer_tm_dirsharded``):
+    params stay replicated, each device runs one direction's fused
+    single-direction kernel, h-streams all_gather per layer. Direction-
+    sharded grads (blstm_*/{W,U,b}) psum over the axis, shared grads
+    pmean.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -165,16 +193,24 @@ def _make_shardmap_train_step(model: ModelDef, mesh):
     data_axis = mesh.axis_names[0]
 
     def local_loss_grad(params, batch, rng):
-        # Decorrelate dropout/noise across devices.
+        # Decorrelate dropout/noise across DATA shards only: model-axis
+        # devices must draw identical masks (they compute the same rows).
         rng = (
             jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
             if rng is not None else None
         )
 
-        with dispatch.shard_local():
+        ctx = (
+            dispatch.direction_shard(model_axis)
+            if model_axis is not None else dispatch.shard_local()
+        )
+        with ctx:
             loss, grads = _loss_and_grads(model, params, batch, rng=rng)
         loss = jax.lax.pmean(loss, data_axis)
         grads = jax.lax.pmean(grads, data_axis)
+        if model_axis is not None:
+            loss = jax.lax.pmean(loss, model_axis)
+            grads = _combine_model_grads(grads, model_axis)
         return loss, grads
 
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
@@ -203,15 +239,18 @@ def make_train_step(
     ``lr_scale`` is a traced scalar so host-side ReduceLROnPlateau never
     triggers recompilation.
 
-    With a pure-DP ``mesh`` the step is built on shard_map so the fused
-    Pallas kernels keep running per device (see
-    :func:`_make_shardmap_train_step`); meshes with model/time axes use
-    the GSPMD path, where XLA partitions the lax.scan recurrence."""
+    With a pure-DP ``mesh`` — or DP x a size-2 'model' axis (direction-
+    sharded TP) — the step is built on shard_map so the fused Pallas
+    kernels keep running per device (see
+    :func:`_make_shardmap_train_step`); other meshes use the GSPMD path,
+    where XLA partitions the lax.scan recurrence."""
     if mesh is not None and mesh.devices.size > 1:
         from mgr_tpu.parallel import sharding as shard_lib
 
-        if shard_lib.dp_only(mesh):
-            return _make_shardmap_train_step(model, mesh)
+        axes = shard_lib.shardmap_axes(mesh)
+        if axes is not None:
+            return _make_shardmap_train_step(model, mesh,
+                                             model_axis=axes[1])
     cfg = model.config
     tx = opt_lib.keras_adam(cfg.optimizer)
 
@@ -258,24 +297,33 @@ def make_indexed_eval_step(model: ModelDef):
 def make_eval_step(model: ModelDef, mesh=None):
     """Returns step(params, batch) -> mean val loss (no dropout/noise).
 
-    Pure-DP meshes get the shard_map variant (fused Pallas kernels per
-    device), mirroring :func:`make_train_step`."""
+    Pure-DP and DP x direction-TP meshes get the shard_map variant
+    (fused Pallas kernels per device), mirroring
+    :func:`make_train_step`."""
     if mesh is not None and mesh.devices.size > 1:
         from mgr_tpu.parallel import sharding as shard_lib
 
-        if shard_lib.dp_only(mesh):
+        axes = shard_lib.shardmap_axes(mesh)
+        if axes is not None:
             from jax.sharding import PartitionSpec as P
 
             from mgr_tpu.ops import dispatch
 
-            data_axis = mesh.axis_names[0]
+            data_axis, model_axis = axes
 
             def local_eval(params: Params, batch):
-                with dispatch.shard_local():
+                ctx = (
+                    dispatch.direction_shard(model_axis)
+                    if model_axis is not None else dispatch.shard_local()
+                )
+                with ctx:
                     loss = _loss_from_batch(
                         model, params, batch, train=False, rng=None
                     )
-                return jax.lax.pmean(loss, data_axis)
+                loss = jax.lax.pmean(loss, data_axis)
+                if model_axis is not None:
+                    loss = jax.lax.pmean(loss, model_axis)
+                return loss
 
             return jax.jit(jax.shard_map(
                 local_eval, mesh=mesh,

@@ -18,12 +18,15 @@ pytestmark = pytest.mark.skipif(
 
 
 def _tiny_cfg():
+    # model=4 exercises the GSPMD H-sharding path (a model axis of 2
+    # routes to the direction-sharded shard_map path instead —
+    # tests/test_tp_dirsharded.py covers that).
     enc = cfglib.EncoderConfig(hidden=8, depth=2, input_noise=0.0,
                                dropout=(0.0, 0.0), output_dropout=0.0)
     return cfglib.get_preset("speech").replace(
         maxlen=16, num_feats=5, nb_classes=6, max_label_len=4,
         encoder=enc, compute_dtype="float32",
-        mesh=cfglib.MeshConfig(data=4, model=2),
+        mesh=cfglib.MeshConfig(data=2, model=4),
     )
 
 
@@ -40,8 +43,8 @@ def _batch(cfg, B=8):
 
 
 def test_mesh_shape():
-    mesh = make_mesh(cfglib.MeshConfig(data=4, model=2))
-    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh(cfglib.MeshConfig(data=2, model=4))
+    assert mesh.shape == {"data": 2, "model": 4}
 
 
 def test_param_pspecs_shard_lstm_only():
