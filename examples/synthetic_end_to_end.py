@@ -8,8 +8,11 @@ train -> decode -> score loop in ~2 minutes on CPU, no dataset needed.
 """
 
 import json
+import os
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mgr_tpu.core import config as cfglib
 from mgr_tpu.data import datasets, synthetic, vocab
@@ -45,7 +48,8 @@ def main(workdir=None):
 
     # 3) Train (early stopping, best/latest checkpoints, metrics JSONL).
     model = build_model(cfg)
-    result = fit(model, data, workdir=workdir, epochs=300)
+    epochs = int(os.environ.get("MGR_TPU_EXAMPLE_EPOCHS", "300"))
+    result = fit(model, data, workdir=workdir, epochs=epochs)
     print(f"trained {result.epochs_run} epochs, "
           f"best val loss {result.best_val_loss:.3f}")
 

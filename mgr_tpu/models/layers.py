@@ -109,13 +109,15 @@ def cnn_frontend(
     y = x.reshape(B * T, H, W, C).astype(compute_dtype)
     for i, p in enumerate(cfg.pool_sizes):
         kernel = params[f"conv_{i}"].astype(compute_dtype)
+        # No preferred_element_type: the conv transpose rule rejects an
+        # f32 cotangent against bf16 operands (so bf16 training would
+        # fail); TPU convs accumulate in f32 internally either way, the
+        # output dtype only picks the storage rounding.
         y = jax.lax.conv_general_dilated(
             y, kernel,
             window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        y = jax.nn.relu(y + params[f"bias_{i}"])
+        y = jax.nn.relu(y + params[f"bias_{i}"].astype(compute_dtype))
         y = _max_pool(y, p)
-        y = y.astype(compute_dtype)
     return y.reshape(B, T, -1).astype(jnp.float32)

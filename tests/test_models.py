@@ -63,6 +63,36 @@ def test_rgb_shapes_and_cnn_geometry():
     assert out.shape == (2, 4, 5)
 
 
+def test_rgb_trains_in_bfloat16():
+    """Regression: the conv frontend's gradient must exist under bf16
+    compute. With ``preferred_element_type=f32`` the conv VJP received
+    an f32 cotangent against bf16 operands and raised a TypeError, so
+    RGB training was broken on TPU (bf16 is the production compute
+    dtype); CPU tests run f32 and never saw it."""
+    cnn = cfglib.CNNConfig(img_dim=36, channels=(4, 6, 8),
+                           kernel_sizes=(5, 5, 4), pool_sizes=(2, 2, 2))
+    cfg = _tiny("rgb", cnn=cnn, nb_classes=5, maxlen=4,
+                compute_dtype="bfloat16")
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 4, 36, 36, 1))
+
+    from mgr_tpu.ops.ctc import ctc_loss_from_logits
+
+    def loss_fn(p):
+        logits = model.apply(p, x, train=True, rng=jax.random.key(2))
+        labels = jnp.array([[1, 2, -1], [3, -1, -1]], jnp.int32)
+        return ctc_loss_from_logits(
+            logits.astype(jnp.float32), labels,
+            jnp.array([4, 4], jnp.int32), jnp.array([2, 1], jnp.int32),
+        ).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    g = np.asarray(grads["cnn"]["conv_0"], np.float32)
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
 def test_reference_cnn_geometry():
     # The reference geometry: 60 -> conv5 56 -> pool 28 -> conv5 24 ->
     # pool 12 -> conv4 9 -> pool 4 => 4*4*48 = 768 flat features.
