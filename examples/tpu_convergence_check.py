@@ -1,0 +1,117 @@
+"""Production-path convergence check on real TPU.
+
+The CPU test suite proves the f32 XLA paths learn
+(tests/test_evaluate.py); this script proves the PRODUCTION path does —
+bf16 compute, fused Pallas BLSTM + CTC kernels, full 1900-frame padded
+geometry, reference-parity semantics (padded_length_parity, 2-frame
+trim, per-gate dropout, maxnorm(3), GaussianNoise, Adam decay; see
+/root/reference/audio_network/{data_generator.py:223, losses.py:9-11},
+speech_lstm_ctc_words.py:42-44,115-116) — by near-memorizing separable
+synthetic corpora in the reference's on-disk formats for BOTH uni-modal
+pipelines and reporting decoded token accuracy.
+
+Run on the chip: `python examples/tpu_convergence_check.py`
+(one TPU process at a time). Prints one JSON line; latest measured
+numbers live in BASELINE.md. Budget note: at this 5%-content /
+95%-padding geometry the 1898-frame CTC lattice takes a while to escape
+the all-blank basin — skeletal reaches ~1.0 train accuracy at 1000
+epochs (≈5 min); 400 epochs is NOT enough for it (measured 0.0).
+`MGR_TPU_CONV_{FILES,EPOCHS,MAXLEN,BATCH,LR,ONLY}` override.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mgr_tpu.core import config as cfglib
+from mgr_tpu.data import datasets, synthetic
+from mgr_tpu.decode.evaluate import evaluate_accuracy
+from mgr_tpu.models import build_model
+from mgr_tpu.train.loop import fit
+
+N_FILES = int(os.environ.get("MGR_TPU_CONV_FILES", "96"))
+EPOCHS = int(os.environ.get("MGR_TPU_CONV_EPOCHS", "400"))
+MAXLEN = int(os.environ.get("MGR_TPU_CONV_MAXLEN", "1900"))
+BATCH = int(os.environ.get("MGR_TPU_CONV_BATCH", "32"))
+LR = float(os.environ.get("MGR_TPU_CONV_LR", "3e-3"))
+ONLY = os.environ.get("MGR_TPU_CONV_ONLY", "")  # "", "speech", "skeletal"
+
+
+def _parity_overrides(cfg, hidden):
+    """Production widths + parity semantics; regularization rates scaled
+    down for a small synthetic corpus (the reference's 0.5-0.6 rates are
+    sized for ~400 real files)."""
+    cfg = cfg.replace(
+        maxlen=MAXLEN, batch_size=BATCH,
+        encoder=cfglib.EncoderConfig(
+            hidden=hidden, depth=2, input_noise=0.05,
+            dropout=(0.02, 0.02), output_dropout=0.02,
+            per_gate_dropout=True,
+        ),
+        optimizer=cfglib.OptimizerConfig(
+            learning_rate=LR, decay=1e-5, maxnorm=3.0,
+        ),
+        patience=10_000,
+    )
+    assert cfg.ctc.padded_length_parity and cfg.ctc.trim_frames == 2
+    assert cfg.compute_dtype == "bfloat16", "must run the production dtype"
+    return cfg
+
+
+def _run(name, cfg, ds):
+    model = build_model(cfg)
+    t0 = time.time()
+    res = fit(model, ds, workdir=None, epochs=EPOCHS)
+    wall = time.time() - t0
+    train_acc = evaluate_accuracy(model, res.state.params, ds,
+                                  train_split=True)
+    return {
+        "train_accuracy": round(train_acc["accuracy"], 4),
+        "train_wer": round(train_acc["wer"], 4),
+        "epochs": res.epochs_run,
+        "wall_s": round(wall, 1),
+        "best_val_loss": round(res.best_val_loss, 3),
+    }
+
+
+def main() -> None:
+    out = {}
+    with tempfile.TemporaryDirectory() as root:
+        if ONLY in ("", "skeletal"):
+            sk_csv, sk_labels, _ = synthetic.make_skeletal_dataset(
+                root, n_files=N_FILES, frames_per_label=24, max_labels=4,
+                seed=4,
+            )
+            sk_cfg = _parity_overrides(cfglib.get_preset("skeletal"), 300)
+            out["skeletal"] = _run(
+                "skeletal", sk_cfg,
+                datasets.build_skeletal_dataset(sk_csv, sk_labels, sk_cfg),
+            )
+
+        if ONLY in ("", "speech"):
+            audio_dir, audio_labels, _ = synthetic.make_audio_dataset(
+                os.path.join(root, "a"), n_files=N_FILES, n_classes=20,
+                frames_per_label=150, max_labels=4, seed=0,
+            )
+            sp_cfg = _parity_overrides(cfglib.get_preset("speech"), 500)
+            out["speech"] = _run(
+                "speech", sp_cfg,
+                datasets.build_audio_dataset(audio_dir, audio_labels, sp_cfg),
+            )
+
+    print(json.dumps({
+        "metric": "tpu_production_path_convergence",
+        "geometry": {"maxlen": MAXLEN, "files": N_FILES,
+                     "dtype": "bfloat16+pallas"},
+        **out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

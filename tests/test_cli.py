@@ -360,6 +360,49 @@ def test_train_early_fusion_cli(corpus, tmp_path, capsys, monkeypatch):
     assert os.path.exists(os.path.join(workdir, "early_fusion_best.msgpack"))
 
 
+def test_curriculum_cli(corpus, tmp_path, capsys, monkeypatch):
+    """CLI `curriculum`: the full 3-stage schedule (speech -> skeletal
+    -> frozen-encoder fusion) from one command, on synthetic corpora
+    sharing file ids (the fusion dataset joins streams by id)."""
+    from mgr_tpu.core import config as cfglib
+
+    audio_dir, audio_labels, _ = synthetic.make_audio_dataset(
+        str(tmp_path), n_files=6, frames_per_label=50, seed=0
+    )
+
+    def _small(name, **kw):
+        cfg = cfglib.get_preset(name).replace(
+            maxlen=32, batch_size=2, compute_dtype="float32", **kw
+        )
+        enc = cfglib.EncoderConfig(
+            hidden=4, depth=2, input_noise=0.1,
+            dropout=(0.1, 0.1), output_dropout=0.1,
+        )
+        return cfg.replace(encoder=enc)
+
+    for name, kw in (("speech", {}), ("skeletal", {}),
+                     ("late_fusion", {"fusion_hidden": 4})):
+        small = _small(name, **kw)
+        monkeypatch.setitem(cfglib.PRESETS, name, lambda s=small: s)
+
+    workdir = str(tmp_path / "runs")
+    rc = cli_main([
+        "curriculum",
+        "--audio-dir", audio_dir, "--audio-labels", audio_labels,
+        "--skeletal-csv", corpus["sk_csv"], "--labels", corpus["sk_labels"],
+        "--workdir", workdir, "--epochs", "1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"speech", "skeletal", "late_fusion"}
+    for stage in out.values():
+        assert np.isfinite(stage["best_val_loss"])
+    for stamp in ("speech", "skeletal", "late_fusion"):
+        assert os.path.exists(
+            os.path.join(workdir, f"{stamp}_best.msgpack")
+        )
+
+
 def test_train_rgb_cli(tmp_path, capsys, monkeypatch):
     from mgr_tpu.core import config as cfglib
 
