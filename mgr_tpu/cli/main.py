@@ -232,7 +232,15 @@ def cmd_decode(args) -> int:
             )
         dec = Decoder(lambda x: x, args.pipeline)  # for write_mlf only
     else:
-        dec = Decoder.for_model(model, params, args.pipeline)
+        # The stored config may carry the TRAINING mesh; only decode
+        # data-parallel when this host actually has the devices.
+        import jax
+
+        mesh = (
+            _mesh_for(cfg)
+            if cfg.mesh.num_devices <= len(jax.devices()) else None
+        )
+        dec = Decoder.for_model(model, params, args.pipeline, mesh=mesh)
         results = dec.decode_batches(
             data.epoch(cfg.batch_size, train=False),
             use_lengths=args.true_lengths,

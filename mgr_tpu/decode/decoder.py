@@ -136,14 +136,18 @@ class Decoder:
 
     @staticmethod
     def for_model(model, params, pipeline: str,
-                  spec: Optional[DecodeSpec] = None) -> "Decoder":
-        """Build a Decoder on the fused on-device decode step."""
+                  spec: Optional[DecodeSpec] = None,
+                  mesh=None) -> "Decoder":
+        """Build a Decoder on the fused on-device decode step.
+
+        ``mesh`` — decode the batch data-parallel over a device mesh
+        (pure-DP or DP x direction-TP; see make_decode_step)."""
         from mgr_tpu.train.step import make_decode_step
 
         s = spec or DECODE_SPECS[pipeline]
         step = make_decode_step(
             model, threshold=s.threshold, trim_frames=s.trim_frames,
-            drop_blank=s.drop_blank,
+            drop_blank=s.drop_blank, mesh=mesh,
         )
         return Decoder(
             pipeline=pipeline, spec=s,

@@ -350,14 +350,20 @@ def make_predict_step(model: ModelDef):
 
 
 def make_decode_step(model: ModelDef, *, threshold: float,
-                     trim_frames: int = 2, drop_blank: bool = False):
+                     trim_frames: int = 2, drop_blank: bool = False,
+                     mesh=None):
     """Fused on-device predict + best-path decode.
 
     Returns step(params, inputs, input_lengths|None) -> (best, emit):
     (B, T') int32 argmax classes and the boolean emit mask. Fetching
     these (a few hundred KB) instead of the (B, T, C) float posteriors
     (tens of MB) keeps decoding compute-bound — the full-probs path is
-    host-transfer-bound on remote-attached TPUs."""
+    host-transfer-bound on remote-attached TPUs.
+
+    Decoding is embarrassingly parallel over the batch, so a pure-DP
+    ``mesh`` (or DP x size-2 'model': direction-sharded TP) gets the
+    same shard_map treatment as train/eval — each device decodes its
+    local batch shard with the fused Pallas kernels engaged."""
     from mgr_tpu.ops.decoding import best_path_decode
 
     cfg = model.config
@@ -370,5 +376,41 @@ def make_decode_step(model: ModelDef, *, threshold: float,
             probs, input_lengths,
             threshold=threshold, trim_frames=trim_frames, blank=blank,
         )
+
+    if mesh is not None and mesh.devices.size > 1:
+        from mgr_tpu.parallel import sharding as shard_lib
+
+        axes = shard_lib.shardmap_axes(mesh)
+        if axes is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from mgr_tpu.ops import dispatch
+
+            data_axis, model_axis = axes
+
+            def local_step(params: Params, inputs, input_lengths):
+                ctx = (
+                    dispatch.direction_shard(model_axis)
+                    if model_axis is not None else dispatch.shard_local()
+                )
+                with ctx:
+                    return step(params, inputs, input_lengths)
+
+            sharded = jax.shard_map(
+                local_step, mesh=mesh,
+                in_specs=(P(), P(data_axis), P(data_axis)),
+                out_specs=(P(data_axis), P(data_axis)),
+                check_vma=False,  # pallas out_shapes carry no vma
+            )
+
+            def mesh_step(params: Params, inputs, input_lengths=None):
+                if input_lengths is None:
+                    leaves = jax.tree.leaves(inputs)
+                    input_lengths = jnp.full(
+                        (leaves[0].shape[0],), cfg.maxlen, jnp.int32
+                    )
+                return sharded(params, inputs, input_lengths)
+
+            return jax.jit(mesh_step)
 
     return jax.jit(step, static_argnames=())

@@ -199,3 +199,39 @@ def test_fit_on_dp_mesh_uses_shardmap_and_learns(tmp_path):
         dispatch.set_mode("auto")
     assert np.isfinite(res.best_val_loss)
     assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+
+
+def test_decode_step_dp_mesh_matches_single_device():
+    """Fused decode under a pure-DP mesh (shard_map, Pallas interpret)
+    equals the single-device decode bit-for-bit — and the direction-
+    sharded dp x model=2 mesh does too."""
+    from mgr_tpu.train.step import make_decode_step
+
+    cfg = _cfg(batch=2 * N_DEV)
+    model = build_model(cfg)
+    params = create_train_state(model, prng.root_key(3)).params
+    batch = _batch(cfg)
+    lengths = jnp.full((cfg.batch_size,), cfg.maxlen - 2, jnp.int32)
+
+    def run(mesh, mode="pallas"):
+        step = make_decode_step(model, threshold=0.3, trim_frames=2,
+                                mesh=mesh)
+        dispatch.set_mode(mode)
+        try:
+            best, emit = step(params, batch["inputs"], lengths)
+            return np.asarray(best), np.asarray(emit)
+        finally:
+            dispatch.set_mode("auto")
+
+    best_1, emit_1 = run(None)
+    for mesh_cfg in (cfglib.MeshConfig(data=N_DEV),
+                     cfglib.MeshConfig(data=N_DEV // 2, model=2)):
+        best_m, emit_m = run(make_mesh(mesh_cfg))
+        np.testing.assert_array_equal(best_m, best_1)
+        np.testing.assert_array_equal(emit_m, emit_1)
+
+    # None lengths path under a mesh (synthesized full lengths).
+    step = make_decode_step(model, threshold=0.3, trim_frames=2,
+                            mesh=make_mesh(cfglib.MeshConfig(data=N_DEV)))
+    best_n, emit_n = step(params, batch["inputs"])
+    assert best_n.shape == best_1.shape and emit_n.shape == emit_1.shape
