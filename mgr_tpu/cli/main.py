@@ -507,6 +507,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
+    # Multi-host bring-up BEFORE any JAX backend use; a no-op unless a
+    # coordinator is configured (JAX_COORDINATOR_ADDRESS et al.), so the
+    # same CLI runs on one host or a pod slice unchanged.
+    from mgr_tpu.parallel import multihost
+
+    multihost.initialize()
     return args.fn(args)
 
 

@@ -20,6 +20,19 @@ from typing import Optional
 import jax
 
 
+def _distributed_client_up() -> bool:
+    """Whether jax.distributed is already initialized — WITHOUT touching
+    the backend. (`jax.process_count()` would initialize XLA, after
+    which `jax.distributed.initialize` permanently fails — the same
+    probe-before-configure trap as the dryrun's platform pinning.)"""
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -27,7 +40,7 @@ def initialize(
 ) -> None:
     """Idempotent jax.distributed bring-up. No-op for single-process
     runs (no coordinator configured)."""
-    if jax.process_count() > 1:
+    if _distributed_client_up():
         return  # already initialized
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
