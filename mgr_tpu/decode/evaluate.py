@@ -56,4 +56,14 @@ def evaluate_accuracy(
     refs_tok = {
         k: [id_to_tok[int(i)] for i in v] for k, v in refs.items()
     }
-    return score_sequences(refs_tok, hyps)
+    metrics = score_sequences(refs_tok, hyps)
+    if not refs:
+        # The split had fewer files than one batch: the reference's
+        # remainder-drop semantics (data_generator.py:82-93) yield zero
+        # batches, so the zeros above mean "nothing scored", not "0%
+        # accurate" — say so instead of failing silently.
+        metrics["note"] = (
+            "no full batch in this split (remainder-drop semantics); "
+            "reduce batch_size to score it"
+        )
+    return metrics

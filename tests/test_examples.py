@@ -17,9 +17,11 @@ def _run(script, env_extra, *args):
     # Match the suite's virtual CPU backend in the child process.
     env.setdefault("JAX_PLATFORMS", "cpu")
     env.pop("XLA_FLAGS", None)
+    # Generous timeout: this box has ONE cpu — a concurrently running
+    # job can triple the subprocess's wall time.
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), *args],
-        capture_output=True, text=True, env=env, cwd="/", timeout=600,
+        capture_output=True, text=True, env=env, cwd="/", timeout=1800,
     )
 
 
