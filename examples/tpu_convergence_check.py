@@ -80,6 +80,84 @@ def _run(name, cfg, ds):
     }
 
 
+def _run_fusion(root):
+    """The flagship configuration: pretrain both uni-modal encoders
+    (briefly — they only seed the frozen transfer), graft them into the
+    late-fusion model exactly as the curriculum does (multimodal.py's
+    frozen-Bidirectional transfer), and train the fusion stage on the
+    production path. Both synthetic streams encode the SAME gesture
+    sequences per file id, like the real dataset."""
+    import dataclasses
+
+    from mgr_tpu.core import checkpoint as ckpt_lib
+    from mgr_tpu.core import prng
+    from mgr_tpu.train.curriculum import build_fusion_with_pretrained
+    from mgr_tpu.train.step import create_train_state
+
+    workdir = os.path.join(root, "fusion_wd")
+    os.makedirs(workdir, exist_ok=True)
+
+    sk_csv, sk_labels, labels = synthetic.make_skeletal_dataset(
+        root, n_files=N_FILES, frames_per_label=24, max_labels=4, seed=4,
+    )
+    audio_dir, _, _ = synthetic.make_audio_dataset(
+        root, n_files=N_FILES, n_classes=22, frames_per_label=150,
+        seed=0, labels=labels,
+    )
+
+    pretrain_epochs = max(EPOCHS // 4, 1)
+    sp_cfg = _parity_overrides(cfglib.get_preset("speech"), 500)
+    sk_cfg = _parity_overrides(cfglib.get_preset("skeletal"), 300)
+    for name, cfg, ds in (
+        ("speech", sp_cfg,
+         datasets.build_audio_dataset(audio_dir, sk_labels, sp_cfg)),
+        ("skeletal", sk_cfg,
+         datasets.build_skeletal_dataset(sk_csv, sk_labels, sk_cfg)),
+    ):
+        # checkpoint_every: serializing ~100 MB trees per sub-second
+        # epoch would dominate the run; the final best/latest still land.
+        fit(build_model(cfg), ds, workdir=workdir,
+            epochs=pretrain_epochs, checkpoint_every=100)
+
+    lf = cfglib.get_preset("late_fusion")
+    lf_cfg = lf.replace(
+        maxlen=MAXLEN, batch_size=BATCH,
+        encoder=dataclasses.replace(
+            lf.encoder, input_noise=0.05, output_dropout=0.02,
+            per_gate_dropout=True,
+        ),
+        optimizer=cfglib.OptimizerConfig(
+            learning_rate=LR, decay=1e-5, maxnorm=3.0,
+        ),
+        patience=10_000,
+    )
+    fusion_model, grafted = build_fusion_with_pretrained(
+        workdir, lf_cfg, {"speech": sp_cfg, "skeletal": sk_cfg},
+    )
+    state = create_train_state(fusion_model, prng.root_key(lf_cfg.seed))
+    state = state._replace(params=grafted)
+    ckpt_lib.save_checkpoint(workdir, lf_cfg.name, state, slot="latest")
+
+    fusion_ds = datasets.build_late_fusion_dataset(
+        audio_dir, sk_csv, sk_labels, lf_cfg,
+    )
+    model = fusion_model
+    t0 = time.time()
+    res = fit(model, fusion_ds, workdir=workdir, resume=True,
+              epochs=EPOCHS, checkpoint_every=100)
+    wall = time.time() - t0
+    acc = evaluate_accuracy(model, res.state.params, fusion_ds,
+                            train_split=True)
+    return {
+        "train_accuracy": round(acc["accuracy"], 4),
+        "train_wer": round(acc["wer"], 4),
+        "epochs": res.epochs_run,
+        "pretrain_epochs": pretrain_epochs,
+        "wall_s": round(wall, 1),
+        "best_val_loss": round(res.best_val_loss, 3),
+    }
+
+
 def main() -> None:
     out = {}
     with tempfile.TemporaryDirectory() as root:
@@ -104,6 +182,9 @@ def main() -> None:
                 "speech", sp_cfg,
                 datasets.build_audio_dataset(audio_dir, audio_labels, sp_cfg),
             )
+
+        if ONLY == "late_fusion":
+            out["late_fusion"] = _run_fusion(root)
 
     print(json.dumps({
         "metric": "tpu_production_path_convergence",

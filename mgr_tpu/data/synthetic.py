@@ -13,7 +13,7 @@ the CTC loss in smoke tests.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -70,14 +70,17 @@ def make_audio_dataset(
     frames_per_label: int = 60,
     max_labels: int = 3,
     seed: int = 0,
+    labels: Optional[Dict[int, List[int]]] = None,
 ) -> Tuple[str, str, Dict[int, List[int]]]:
     """Per-file ``audio_<id>.csv`` (39 feats + file_number col) and a
     ``training_oov.csv`` label file. Returns (data_dir, label_file,
-    labels)."""
+    labels). Pass ``labels`` to reuse another stream's sequences (fusion
+    corpora: both modalities encode the SAME gestures per file id)."""
     rng = np.random.default_rng(seed)
     data_dir = os.path.join(out_dir, "train_audio")
     os.makedirs(data_dir, exist_ok=True)
-    labels = _label_sequences(rng, n_files, n_classes, max_labels)
+    if labels is None:
+        labels = _label_sequences(rng, n_files, n_classes, max_labels)
     header = ",".join(str(i) for i in range(39)) + ",file_number"
     for fid, seq in labels.items():
         x = _class_signal(rng, seq, frames_per_label, 39)

@@ -54,13 +54,19 @@ def fit(
     metrics: Optional[MetricsLogger] = None,
     async_checkpoints: bool = False,
     device_data: Optional[bool] = None,
+    checkpoint_every: int = 1,
 ) -> FitResult:
     """Train one pipeline.
 
     ``device_data`` — upload the whole featurized corpus to HBM once and
     gather batches on-device by row index (no per-step host transfer).
     Defaults to on for array-backed datasets on a single device; lazy
-    (video) datasets and mesh runs use the host streaming path."""
+    (video) datasets and mesh runs use the host streaming path.
+
+    ``checkpoint_every`` — write the latest/best slots at most every N
+    epochs (final state always flushed). Serializing a ~100 MB tree
+    each epoch can dwarf sub-second epochs; raise N when epochs are
+    cheap and losing a few on preemption is acceptable."""
     cfg = model.config
     stamp = cfg.name
     epochs = epochs if epochs is not None else cfg.epochs
@@ -104,13 +110,14 @@ def fit(
     if async_checkpoints and workdir:
         ckpt_writer = ckpt_lib.AsyncCheckpointer(workdir, stamp)
 
-    def _save(slot: str) -> None:
+    def _save(slot: str, which=None) -> None:
         if not workdir:
             return
+        s = state if which is None else which
         if ckpt_writer is not None:
-            ckpt_writer.save(state, slot=slot)
+            ckpt_writer.save(s, slot=slot)
         else:
-            ckpt_lib.save_checkpoint(workdir, stamp, state, slot=slot)
+            ckpt_lib.save_checkpoint(workdir, stamp, s, slot=slot)
 
     plateau = None
     if cfg.reduce_lr_factor is not None:
@@ -121,6 +128,7 @@ def fit(
 
     data_key = prng.fold_name(prng.root_key(seed), "dropout")
     best_val = float("inf")
+    pending_best = None
     wait = 0
     lr_scale = 1.0
     history = []
@@ -192,14 +200,23 @@ def fit(
         )
         history.append(rec)
 
-        _save("latest")
+        save_now = (epoch - start_epoch + 1) % max(checkpoint_every, 1) == 0
+        if save_now:
+            _save("latest")
 
         monitored = val_loss if val_loss is not None else train_loss
-        if monitored < best_val:
+        improved = monitored < best_val
+        if improved:
             best_val = monitored
             wait = 0
-            _save("best")
-        else:
+            # Best-epoch params are retained on device (arrays are
+            # immutable) and flushed on the checkpoint cadence, so a
+            # throttled run still ends with the true best slot.
+            pending_best = state
+        if save_now and pending_best is not None:
+            _save("best", pending_best)
+            pending_best = None
+        if not improved:
             wait += 1
             # Keras EarlyStopping semantics: stop once `wait` REACHES
             # patience (speech_lstm_ctc_words.py:167-169 uses patience=20
@@ -209,6 +226,12 @@ def fit(
         if plateau is not None and val_loss is not None:
             lr_scale = plateau.update(val_loss)
 
+    # Final flush: the run must always end with the latest state and the
+    # true best state on disk, whatever the checkpoint cadence.
+    if pending_best is not None:
+        _save("best", pending_best)
+    if checkpoint_every > 1:
+        _save("latest")
     if ckpt_writer is not None:
         ckpt_writer.wait()
     return FitResult(
