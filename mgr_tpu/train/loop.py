@@ -209,10 +209,16 @@ def fit(
         if improved:
             best_val = monitored
             wait = 0
-            # Best-epoch params are retained on device (arrays are
-            # immutable) and flushed on the checkpoint cadence, so a
-            # throttled run still ends with the true best slot.
-            pending_best = state
+            if checkpoint_every <= 1:
+                _save("best")
+            else:
+                # Throttled: retain a device COPY of the best-epoch
+                # state and flush it on the checkpoint cadence. A copy
+                # is required — the jitted step DONATES the input
+                # state's buffers, so a plain reference would hold
+                # deleted arrays by the next step (donation is a no-op
+                # on CPU, which is why only real-TPU runs see it).
+                pending_best = jax.tree.map(jnp.copy, state)
         if save_now and pending_best is not None:
             _save("best", pending_best)
             pending_best = None
