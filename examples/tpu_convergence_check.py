@@ -94,7 +94,12 @@ def _run_fusion(root):
     from mgr_tpu.train.curriculum import build_fusion_with_pretrained
     from mgr_tpu.train.step import create_train_state
 
-    workdir = os.path.join(root, "fusion_wd")
+    # Persist pretrained encoders across invocations (they cost ~25 min
+    # on the chip) — set MGR_TPU_CONV_WORKDIR to reuse; corpora are
+    # seed-deterministic so the datasets match.
+    workdir = os.environ.get("MGR_TPU_CONV_WORKDIR") or os.path.join(
+        root, "fusion_wd"
+    )
     os.makedirs(workdir, exist_ok=True)
 
     sk_csv, sk_labels, labels = synthetic.make_skeletal_dataset(
@@ -105,15 +110,25 @@ def _run_fusion(root):
         seed=0, labels=labels,
     )
 
-    pretrain_epochs = max(EPOCHS // 4, 1)
+    # Full budget for the encoders too: the fusion head is trained on
+    # FROZEN encoder features, so under-pretrained encoders (especially
+    # skeletal, which needs ~1000 epochs to escape the all-blank basin
+    # at this padding ratio) starve it. Override via
+    # MGR_TPU_CONV_PRETRAIN.
+    pretrain_epochs = int(os.environ.get("MGR_TPU_CONV_PRETRAIN", "0")) \
+        or EPOCHS
     sp_cfg = _parity_overrides(cfglib.get_preset("speech"), 500)
     sk_cfg = _parity_overrides(cfglib.get_preset("skeletal"), 300)
+    from mgr_tpu.core import checkpoint as _ck
+
     for name, cfg, ds in (
         ("speech", sp_cfg,
          datasets.build_audio_dataset(audio_dir, sk_labels, sp_cfg)),
         ("skeletal", sk_cfg,
          datasets.build_skeletal_dataset(sk_csv, sk_labels, sk_cfg)),
     ):
+        if _ck.has_checkpoint(workdir, name, "best"):
+            continue  # reuse a persisted pretrain
         # checkpoint_every: serializing ~100 MB trees per sub-second
         # epoch would dominate the run; the final best/latest still land.
         fit(build_model(cfg), ds, workdir=workdir,
@@ -126,6 +141,11 @@ def _run_fusion(root):
             lf.encoder, input_noise=0.05, output_dropout=0.02,
             per_gate_dropout=True,
         ),
+        # Regularization rates scaled down like the uni-modal stages
+        # (the reference's 0.5s are sized for the real 400-file corpus);
+        # the parity-critical maxnorm/trim/padded-length semantics stay.
+        fusion_dropout=0.02,
+        fusion_output_dropout=0.02,
         optimizer=cfglib.OptimizerConfig(
             learning_rate=LR, decay=1e-5, maxnorm=3.0,
         ),

@@ -138,6 +138,10 @@ class PipelineConfig:
     # Late fusion: names of the pretrained uni-modal stages to load+freeze.
     fusion_sources: Tuple[str, ...] = ()
     fusion_hidden: int = 100  # trainable fusion BLSTM width (multimodal.py:159-168)
+    # Fusion-stage regularization; defaults are the reference's
+    # (multimodal.py:164 dropout=0.5, :171-173 Dropout(0.5)).
+    fusion_dropout: float = 0.5
+    fusion_output_dropout: float = 0.5
     # Second input stream (early/late fusion): (num_feats, noise sigma).
     second_stream_feats: int = 0
     second_stream_noise: float = 0.0

@@ -237,11 +237,12 @@ def _build_late_fusion(
         h = lstm.bilstm_layer_tm(
             params["fusion"], merged,
             rng=None if rng is None else prng.fold_name(rng, "fusion_drop"),
-            dropout=0.5,  # multimodal.py:164
+            dropout=cfg.fusion_dropout,  # default 0.5, multimodal.py:164
             train=train, compute_dtype=dt,
         )
         return _head_apply(
-            params["head"], h, 0.5,  # multimodal.py:171-173
+            params["head"], h,
+            cfg.fusion_output_dropout,  # default 0.5, multimodal.py:171-173
             train=train, rng=rng, compute_dtype=dt,
         )
 
