@@ -151,12 +151,20 @@ def _run_fusion(root):
         ),
         patience=10_000,
     )
+    resume_fusion = (
+        os.environ.get("MGR_TPU_CONV_RESUME") == "1"
+        and ckpt_lib.has_checkpoint(workdir, "late_fusion", "latest")
+    )
     fusion_model, grafted = build_fusion_with_pretrained(
         workdir, lf_cfg, {"speech": sp_cfg, "skeletal": sk_cfg},
     )
-    state = create_train_state(fusion_model, prng.root_key(lf_cfg.seed))
-    state = state._replace(params=grafted)
-    ckpt_lib.save_checkpoint(workdir, lf_cfg.name, state, slot="latest")
+    if not resume_fusion:
+        # Seed the latest slot with the grafted params (fresh fusion
+        # training); with MGR_TPU_CONV_RESUME=1 an existing fusion
+        # checkpoint continues instead.
+        state = create_train_state(fusion_model, prng.root_key(lf_cfg.seed))
+        state = state._replace(params=grafted)
+        ckpt_lib.save_checkpoint(workdir, lf_cfg.name, state, slot="latest")
 
     fusion_ds = datasets.build_late_fusion_dataset(
         audio_dir, sk_csv, sk_labels, lf_cfg,
