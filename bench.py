@@ -1,9 +1,16 @@
-"""Benchmark: flagship speech BLSTM+CTC throughput on one chip.
+"""Benchmark: per-pipeline train + decode throughput on one chip.
 
-Prints ONE JSON line; primary metric first:
+Default (driver contract) benches the flagship speech BLSTM+CTC and
+prints ONE JSON line; primary metric first:
   {"metric": "train_seqs_per_sec_per_chip", "value": N, "unit": "seq/s",
    "vs_baseline": N, "spread": {...}, "decode_seqs_per_sec_per_chip": N,
-   "decode_spread": {...}}
+   "decode_spread": {...}, "pipeline": "speech"}
+
+`--pipeline {speech,skeletal,rgb,early_fusion,late_fusion}` benches any
+of the five reference pipelines with the same harness, so every
+BASELINE.md throughput row is regenerable from this one committed
+command (VERDICT r2 item 4). `--batch` overrides the per-pipeline
+default (each default is the measured single-chip HBM cap).
 
 Baseline derivation (BASELINE.md): the reference trains the full
 3-stage system in ~100 h on a GTX 1060 at batch 2 over ~1900-frame
@@ -11,18 +18,20 @@ padded sequences — an implied train throughput of roughly 1.5
 sequences/sec (SURVEY.md §6 "implied throughput floor"). vs_baseline is
 measured seq/s divided by that 1.5 seq/s floor.
 
-Methodology: the REAL train step at reference geometry — full speech
-preset (BiLSTM(500)x2 over 1900 frames, 44-way CTC, Adam + clip +
-maxnorm) — on synthetic data, jitted once. REPEATS x TIMED_STEPS steps
-with a scalar host fetch as the sync (block_until_ready does not hard-
-sync through the relay); value reported is the MEDIAN repeat, with the
-min/max spread so regressions are distinguishable from relay jitter
-(VERDICT r1 item 10). The decode benchmark times the fused
-predict+best-path step (make_decode_step) the same way.
+Methodology: the REAL train step at reference geometry — the full
+preset model (e.g. BiLSTM(500)x2 over 1900 frames, 44-way CTC, Adam +
+clip + maxnorm for speech) — on synthetic data, jitted once. REPEATS x
+TIMED_STEPS steps with a scalar host fetch as the sync
+(block_until_ready does not hard-sync through the relay); value
+reported is the MEDIAN repeat, with the min/max spread so regressions
+are distinguishable from relay jitter (VERDICT r1 item 10). The decode
+benchmark times the fused predict+best-path step (make_decode_step, at
+the pipeline's reference threshold) the same way.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import statistics
 import time
@@ -32,19 +41,39 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_SEQS_PER_SEC = 1.5
-BATCH = 128  # fits HBM with the fused Pallas recurrence + bf16 activations
 WARMUP_STEPS = 2
 TIMED_STEPS = 10
 REPEATS = 3
 
+# Per-pipeline defaults: single-chip HBM-cap batch (BASELINE.md) and the
+# reference decode threshold (decode/decoder.py::DECODE_SPECS).
+PIPELINES = {
+    "speech": {"batch": 128, "threshold": 0.75},
+    "skeletal": {"batch": 128, "threshold": 0.5},
+    "rgb": {"batch": 16, "threshold": 0.0},
+    "early_fusion": {"batch": 128, "threshold": 0.97},
+    "late_fusion": {"batch": 64, "threshold": 0.5},
+}
+
 
 def _make_batch(cfg, B):
     rng = np.random.default_rng(0)
-    T, F = cfg.maxlen, cfg.num_feats
-    return {
-        "inputs": jnp.asarray(
+    T = cfg.maxlen
+
+    def stream(F):
+        return jnp.asarray(
             rng.standard_normal((B, T, F)).astype(np.float32)
-        ),
+        )
+
+    if cfg.cnn is not None:
+        d = cfg.cnn.img_dim
+        inputs = jnp.asarray(
+            rng.standard_normal((B, T, d, d, 1)).astype(np.float32)
+        )
+    else:
+        inputs = stream(cfg.num_feats)
+    batch = {
+        "inputs": inputs,
         "labels": jnp.asarray(
             np.pad(
                 rng.integers(1, cfg.nb_classes - 1, size=(B, 8)),
@@ -55,15 +84,18 @@ def _make_batch(cfg, B):
         "input_length": jnp.full((B,), T - cfg.ctc.trim_frames, jnp.int32),
         "label_length": jnp.full((B,), 8, jnp.int32),
     }
+    if cfg.second_stream_feats:
+        batch["inputs2"] = stream(cfg.second_stream_feats)
+    return batch
 
 
-def _bench_train(cfg, model):
+def _bench_train(cfg, model, B):
     from mgr_tpu.core import prng
     from mgr_tpu.train import create_train_state, make_train_step
 
     state = create_train_state(model, prng.root_key(cfg.seed))
     step = make_train_step(model)
-    batch = _make_batch(cfg, BATCH)
+    batch = _make_batch(cfg, B)
     key = jax.random.key(0)
 
     for i in range(WARMUP_STEPS):
@@ -79,16 +111,21 @@ def _bench_train(cfg, model):
                 jax.random.fold_in(key, 100 + r * TIMED_STEPS + i), 1.0,
             )
         float(metrics["loss"])  # hard sync
-        rates.append(BATCH * TIMED_STEPS / (time.perf_counter() - t0))
+        rates.append(B * TIMED_STEPS / (time.perf_counter() - t0))
     return rates
 
 
-def _bench_decode(cfg, model, params):
+def _bench_decode(cfg, model, params, B, threshold):
     from mgr_tpu.train.step import make_decode_step
 
-    step = make_decode_step(model, threshold=0.75, trim_frames=2)
-    inputs = _make_batch(cfg, BATCH)["inputs"]
-    lengths = jnp.full((BATCH,), cfg.maxlen, jnp.int32)
+    step = make_decode_step(model, threshold=threshold, trim_frames=2)
+    batch = _make_batch(cfg, B)
+    inputs = (
+        (batch["inputs"], batch["inputs2"])
+        if "inputs2" in batch
+        else batch["inputs"]
+    )
+    lengths = jnp.full((B,), cfg.maxlen, jnp.int32)
 
     best, emit = step(params, inputs, lengths)
     int(best[0, 0])  # scalar fetch: hard sync
@@ -99,7 +136,7 @@ def _bench_decode(cfg, model, params):
         for _ in range(TIMED_STEPS):
             best, emit = step(params, inputs, lengths)
         int(best[0, 0])  # hard sync
-        rates.append(BATCH * TIMED_STEPS / (time.perf_counter() - t0))
+        rates.append(B * TIMED_STEPS / (time.perf_counter() - t0))
     return rates
 
 
@@ -109,14 +146,25 @@ def main() -> None:
     from mgr_tpu.models import build_model
     from mgr_tpu.train import create_train_state
 
-    cfg = cfglib.get_preset("speech").replace(batch_size=BATCH)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", default="speech",
+                    choices=sorted(PIPELINES))
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the pipeline's HBM-cap default")
+    args = ap.parse_args()
+    spec = PIPELINES[args.pipeline]
+    B = args.batch or spec["batch"]
+
+    cfg = cfglib.get_preset(args.pipeline).replace(batch_size=B)
     model = build_model(cfg)
     n_chips = max(len(jax.devices()), 1)
 
-    train_rates = sorted(r / n_chips for r in _bench_train(cfg, model))
+    train_rates = sorted(r / n_chips for r in _bench_train(cfg, model, B))
     params = create_train_state(model, prng.root_key(cfg.seed)).params
-    decode_rates = sorted(r / n_chips for r in _bench_decode(cfg, model,
-                                                             params))
+    decode_rates = sorted(
+        r / n_chips
+        for r in _bench_decode(cfg, model, params, B, spec["threshold"])
+    )
 
     value = statistics.median(train_rates)
     dec_value = statistics.median(decode_rates)
@@ -137,6 +185,8 @@ def main() -> None:
                     "min": round(decode_rates[0], 3),
                     "max": round(decode_rates[-1], 3),
                 },
+                "pipeline": args.pipeline,
+                "batch": B,
             }
         )
     )

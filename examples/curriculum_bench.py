@@ -24,6 +24,12 @@ bound, since EarlyStopping(patience 20) typically fires much earlier.
 Run: `python examples/curriculum_bench.py` (one TPU process at a time).
 Prints one JSON line; latest measured numbers live in README.md and
 BASELINE.md.
+
+MGR_TPU_CB_MEASURED=1 switches from the 12-epoch timing sample to the
+real thing: every stage runs to the full 500-epoch ceiling on a
+LEARNABLE class-signature corpus, the best-train state of each stage is
+decoded and scored, and the JSON reports measured end-to-end wall-clock
+alongside the projection (VERDICT r2 item 2).
 """
 
 from __future__ import annotations
@@ -47,31 +53,55 @@ from mgr_tpu.train.loop import fit
 # with toy geometry; defaults are the real ChaLearn-scale benchmark).
 N_TRAIN = int(os.environ.get("MGR_TPU_CB_NTRAIN", "400"))
 N_VAL = int(os.environ.get("MGR_TPU_CB_NVAL", "300"))
-EPOCHS = int(os.environ.get("MGR_TPU_CB_EPOCHS", "12"))  # 0-1 = compile
+# MEASURED=1: run every stage to the full 500-epoch reference ceiling
+# and decode it — the end-to-end measurement, not a projection
+# (VERDICT r2 item 2). Default mode stays the short timing run.
+MEASURED = os.environ.get("MGR_TPU_CB_MEASURED") == "1"
+EPOCHS = int(
+    os.environ.get("MGR_TPU_CB_EPOCHS", "500" if MEASURED else "12")
+)  # short mode: epochs 0-1 = compile
 MAXLEN = int(os.environ.get("MGR_TPU_CB_MAXLEN", "0")) or None
 BATCH = int(os.environ.get("MGR_TPU_CB_BATCH", "0")) or None
 HIDDEN_SCALE = float(os.environ.get("MGR_TPU_CB_HIDDEN_SCALE", "1"))
+# Measured mode trains with a large-batch LR (batch 128 vs the
+# reference's 2; at the reference's 1e-4 the ~1500 big-batch updates of
+# a 500-epoch run cannot escape the CTC all-blank basin — linear LR
+# scaling is the standard remedy). Short mode never reads this.
+LR = float(os.environ.get("MGR_TPU_CB_LR", "3e-3"))
 REF_EPOCH_CEILING = 500
 REF_TOTAL_HOURS = 100.0
 
 
 def _make_batcher(cfg, *, n_labels: int, seed: int) -> Batcher:
-    """In-memory corpus at reference geometry for one pipeline."""
+    """In-memory corpus at reference geometry for one pipeline.
+
+    Features are class-signature signals (mgr_tpu.data.synthetic), so
+    the corpus is LEARNABLE — timing is unaffected vs pure noise, and
+    measured mode can report real decode accuracy at the end."""
+    from mgr_tpu.data.synthetic import _class_signal
+
     rng = np.random.default_rng(seed)
     n = N_TRAIN + N_VAL
     T = cfg.maxlen
+    labels = np.full((n, cfg.max_label_len), -1, np.int32)
+    seqs = rng.integers(1, cfg.nb_classes - 1, size=(n, n_labels))
+    labels[:, :n_labels] = seqs
+    frames_per = max(T // n_labels - 4, 1)
 
-    def stream(F):
-        return rng.standard_normal((n, T, F)).astype(np.float32)
+    def stream(F, srng):
+        x = np.zeros((n, T, F), np.float32)
+        for i in range(n):
+            sig = _class_signal(srng, seqs[i], frames_per, F)[:T]
+            x[i, : sig.shape[0]] = sig
+        return x
 
     if cfg.second_stream_feats:
-        feats = (stream(cfg.num_feats), stream(cfg.second_stream_feats))
+        feats = (
+            stream(cfg.num_feats, rng),
+            stream(cfg.second_stream_feats, rng),
+        )
     else:
-        feats = stream(cfg.num_feats)
-    labels = np.full((n, cfg.max_label_len), -1, np.int32)
-    labels[:, :n_labels] = rng.integers(
-        1, cfg.nb_classes - 1, size=(n, n_labels)
-    )
+        feats = stream(cfg.num_feats, rng)
     return Batcher(
         features=feats,
         labels=labels,
@@ -86,15 +116,44 @@ def _make_batcher(cfg, *, n_labels: int, seed: int) -> Batcher:
 def _bench_stage(cfg, data, workdir, *, resume=False):
     model = build_model(cfg)
     t0 = time.time()
-    result = fit(model, data, workdir=workdir, epochs=EPOCHS, resume=resume)
+    # checkpoint_every: per-epoch ~100 MB serialization would be a cost
+    # the steady-state epoch timing does not see (ADVICE r2) — throttle
+    # it so as_run_s and epoch_s describe the same configuration.
+    # Measured mode monitors TRAIN loss: these are memorization corpora
+    # (val files are unseen random sequences), so best-val selection
+    # would return the least-trained state.
+    result = fit(
+        model, data, workdir=workdir, epochs=EPOCHS, resume=resume,
+        checkpoint_every=100,
+        monitor="train" if MEASURED else "val",
+        keep_best_state=MEASURED,
+    )
     wall = time.time() - t0
     steady = result.history[2:] or result.history
     epoch_s = statistics.median(rec["wall_s"] for rec in steady)
-    return {
+    out = {
         "epoch_s": round(epoch_s, 3),
         "as_run_s": round(wall, 1),
         "projected_500ep_s": round(epoch_s * REF_EPOCH_CEILING, 1),
     }
+    if MEASURED:
+        from mgr_tpu.decode.evaluate import evaluate_accuracy
+
+        best = result.best_state if result.best_state is not None \
+            else result.state
+        acc = evaluate_accuracy(model, best.params, data, train_split=True)
+        out["epochs_run"] = result.epochs_run
+        out["train_accuracy"] = round(acc["accuracy"], 4)
+        out["train_wer"] = round(acc["wer"], 4)
+        out["best_train_loss"] = round(result.best_val_loss, 3)
+        # The graft must see the best-train state, not wherever the
+        # 500th epoch happened to land (late-run divergence is real at
+        # large-batch LR — measured in round 2).
+        if workdir:
+            from mgr_tpu.core import checkpoint as ckpt_lib
+
+            ckpt_lib.save_checkpoint(workdir, cfg.name, best, slot="best")
+    return out
 
 
 def main() -> None:
@@ -109,6 +168,25 @@ def main() -> None:
         cfg = cfglib.get_preset(name).replace(
             batch_size=BATCH or batch, patience=EPOCHS + 1
         )
+        if MEASURED:
+            import dataclasses
+
+            # Large-batch LR + regularization scaled down for the
+            # synthetic memorization corpora (as in
+            # tpu_convergence_check.py); maxnorm/trim/padded-length
+            # parity semantics stay.
+            cfg = cfg.replace(
+                optimizer=dataclasses.replace(
+                    cfg.optimizer, learning_rate=LR
+                ),
+                encoder=dataclasses.replace(
+                    cfg.encoder, input_noise=0.05,
+                    dropout=tuple(0.02 for _ in cfg.encoder.dropout),
+                    output_dropout=0.02,
+                ),
+                fusion_dropout=0.02,
+                fusion_output_dropout=0.02,
+            )
         if MAXLEN:
             cfg = cfg.replace(maxlen=MAXLEN)
         if HIDDEN_SCALE != 1:
@@ -158,8 +236,9 @@ def main() -> None:
                 out[name] = _bench_stage(cfg, data, workdir)
 
     total_projected = sum(s["projected_500ep_s"] for s in out.values())
-    print(json.dumps({
+    result = {
         "metric": "curriculum_wall_clock",
+        "measured": MEASURED,
         "stages": out,
         "projected_500ep_total_s": round(total_projected, 1),
         "projected_500ep_total_min": round(total_projected / 60.0, 1),
@@ -167,7 +246,15 @@ def main() -> None:
         "speedup_vs_reference": round(
             REF_TOTAL_HOURS * 3600.0 / total_projected, 1
         ),
-    }))
+    }
+    if MEASURED:
+        total = sum(s["as_run_s"] for s in out.values())
+        result["measured_total_s"] = round(total, 1)
+        result["measured_total_min"] = round(total / 60.0, 1)
+        result["measured_speedup_vs_reference"] = round(
+            REF_TOTAL_HOURS * 3600.0 / total, 1
+        )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

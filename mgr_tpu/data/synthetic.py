@@ -158,16 +158,30 @@ def make_rgb_dataset(
     img_dim: int = 60,
     seed: int = 3,
 ) -> Tuple[str, str, Dict[int, List[int]]]:
-    """Per-video ``Sample#####_color.npy`` (T, D, D, 1) + labels."""
+    """Per-video ``Sample#####_color.npy`` (T, D, D, 1) + labels.
+
+    Frames are class-SEPARABLE: each class renders a deterministic 8x8
+    spatial pattern (upsampled to the frame) plus pixel noise, so a
+    correct CNN-LSTM can actually learn the corpus — pure uniform noise
+    (the original generator) admits no better-than-chance model."""
     rng = np.random.default_rng(seed)
     data_dir = os.path.join(out_dir, "training_up_body")
     os.makedirs(data_dir, exist_ok=True)
     labels = _label_sequences(rng, n_files, n_classes, max_labels)
+    rep = img_dim // 8 + 1
     for fid, seq in labels.items():
-        T = frames_per_label * len(seq)
-        video = rng.integers(0, 256, size=(T, img_dim, img_dim, 1)).astype(
-            np.uint8
-        )
+        frames = []
+        for c in seq:
+            pat = _class_signature(int(c), 64).reshape(8, 8)
+            img = np.kron(pat, np.ones((rep, rep)))[:img_dim, :img_dim]
+            block = (
+                128.0 + 24.0 * img[None, :, :]
+                + rng.normal(0.0, 8.0, size=(frames_per_label, img_dim, img_dim))
+            )
+            frames.append(block)
+        video = np.clip(np.concatenate(frames, axis=0), 0, 255)[
+            ..., None
+        ].astype(np.uint8)
         np.save(os.path.join(data_dir, f"Sample{fid:05d}_color.npy"), video)
     label_file = os.path.join(out_dir, "rgb_training.csv")
     write_label_csv(label_file, labels)

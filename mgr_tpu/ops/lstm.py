@@ -423,7 +423,14 @@ def bilstm_layer_tm(
     dir_axis = _dispatch.direction_shard_axis()
     if dir_axis is not None:
         # Tensor-parallel context (ops.dispatch.direction_shard): this
-        # device computes one direction only.
+        # device computes one direction only. The dirsharded kernel has
+        # no remat variant — failing silently would drop a caller's
+        # memory plan (ADVICE r2), so refuse instead.
+        if remat:
+            raise NotImplementedError(
+                "remat is not supported under direction-sharded TP; "
+                "drop remat=True or use the GSPMD (non-dirsharded) path"
+            )
         return bilstm_layer_tm_dirsharded(
             params, x_tm, axis=dir_axis, rng=rng, dropout=dropout,
             per_gate=per_gate, train=train, compute_dtype=compute_dtype,

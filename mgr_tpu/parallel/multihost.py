@@ -19,6 +19,12 @@ from typing import Optional
 
 import jax
 
+# Set by initialize() once it brings the client up; checked before the
+# private-API probe below so a repeat initialize() in the same process
+# stays a no-op even if a JAX upgrade moves jax._src.distributed
+# (ADVICE r2). The probe remains for clusters initialized externally.
+_initialized = False
+
 
 def _distributed_client_up() -> bool:
     """Whether jax.distributed is already initialized — WITHOUT touching
@@ -40,7 +46,8 @@ def initialize(
 ) -> None:
     """Idempotent jax.distributed bring-up. No-op for single-process
     runs (no coordinator configured)."""
-    if _distributed_client_up():
+    global _initialized
+    if _initialized or _distributed_client_up():
         return  # already initialized
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
@@ -52,6 +59,7 @@ def initialize(
         num_processes=num_processes,
         process_id=process_id,
     )
+    _initialized = True
 
 
 def is_primary() -> bool:

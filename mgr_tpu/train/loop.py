@@ -40,6 +40,10 @@ class FitResult:
     best_val_loss: float
     epochs_run: int
     history: list
+    # Device copy of the best-monitored-epoch state; populated only when
+    # fit(keep_best_state=True) (it holds a second full parameter tree
+    # in HBM, so it is opt-in).
+    best_state: Optional[TrainState] = None
 
 
 def fit(
@@ -55,6 +59,8 @@ def fit(
     async_checkpoints: bool = False,
     device_data: Optional[bool] = None,
     checkpoint_every: int = 1,
+    monitor: str = "val",
+    keep_best_state: bool = False,
 ) -> FitResult:
     """Train one pipeline.
 
@@ -66,7 +72,19 @@ def fit(
     ``checkpoint_every`` — write the latest/best slots at most every N
     epochs (final state always flushed). Serializing a ~100 MB tree
     each epoch can dwarf sub-second epochs; raise N when epochs are
-    cheap and losing a few on preemption is acceptable."""
+    cheap and losing a few on preemption is acceptable.
+
+    ``monitor`` — which loss drives the best checkpoint and early
+    stopping: ``"val"`` (reference semantics, speech_lstm_ctc_words.py:
+    167-169 monitor='val_loss') or ``"train"``. Train monitoring exists
+    for memorization/diagnostic corpora where val loss rises
+    monotonically once the model fits the train split, so best-val
+    selection would pick the LEAST-trained state (measured: the round-2
+    fusion grafts froze a blank-basin skeletal encoder this way).
+
+    ``keep_best_state`` — retain a device copy of the best-epoch state
+    and return it as ``FitResult.best_state`` (robust to late-training
+    divergence of the final state; costs a second tree in HBM)."""
     cfg = model.config
     stamp = cfg.name
     epochs = epochs if epochs is not None else cfg.epochs
@@ -204,24 +222,28 @@ def fit(
         if save_now:
             _save("latest")
 
-        monitored = val_loss if val_loss is not None else train_loss
+        if monitor == "train" or val_loss is None:
+            monitored = train_loss
+        else:
+            monitored = val_loss
         improved = monitored < best_val
         if improved:
             best_val = monitored
             wait = 0
+            if checkpoint_every > 1 or keep_best_state:
+                # Retain a device COPY of the best-epoch state (flushed
+                # on the checkpoint cadence and/or returned to the
+                # caller). A copy is required — the jitted step DONATES
+                # the input state's buffers, so a plain reference would
+                # hold deleted arrays by the next step (donation is a
+                # no-op on CPU, which is why only real-TPU runs see it).
+                pending_best = jax.tree.map(jnp.copy, state)
             if checkpoint_every <= 1:
                 _save("best")
-            else:
-                # Throttled: retain a device COPY of the best-epoch
-                # state and flush it on the checkpoint cadence. A copy
-                # is required — the jitted step DONATES the input
-                # state's buffers, so a plain reference would hold
-                # deleted arrays by the next step (donation is a no-op
-                # on CPU, which is why only real-TPU runs see it).
-                pending_best = jax.tree.map(jnp.copy, state)
-        if save_now and pending_best is not None:
+        if save_now and pending_best is not None and checkpoint_every > 1:
             _save("best", pending_best)
-            pending_best = None
+            if not keep_best_state:
+                pending_best = None
         if not improved:
             wait += 1
             # Keras EarlyStopping semantics: stop once `wait` REACHES
@@ -234,7 +256,7 @@ def fit(
 
     # Final flush: the run must always end with the latest state and the
     # true best state on disk, whatever the checkpoint cadence.
-    if pending_best is not None:
+    if pending_best is not None and checkpoint_every > 1:
         _save("best", pending_best)
     if checkpoint_every > 1:
         _save("latest")
@@ -243,6 +265,7 @@ def fit(
     return FitResult(
         state=state, best_val_loss=best_val,
         epochs_run=epoch - start_epoch + 1, history=history,
+        best_state=pending_best if keep_best_state else None,
     )
 
 

@@ -405,9 +405,13 @@ def make_decode_step(model: ModelDef, *, threshold: float,
 
             def mesh_step(params: Params, inputs, input_lengths=None):
                 if input_lengths is None:
+                    # No-masking semantics: full lengths synthesized
+                    # from the ACTUAL padded time axis, not cfg.maxlen —
+                    # callers may pass shorter inputs (ADVICE r2).
                     leaves = jax.tree.leaves(inputs)
                     input_lengths = jnp.full(
-                        (leaves[0].shape[0],), cfg.maxlen, jnp.int32
+                        (leaves[0].shape[0],), leaves[0].shape[1],
+                        jnp.int32,
                     )
                 return sharded(params, inputs, input_lengths)
 

@@ -44,3 +44,20 @@ def test_curriculum_bench_smoke():
     assert set(out["stages"]) == {"speech", "skeletal", "late_fusion"}
     for stage in out["stages"].values():
         assert stage["epoch_s"] > 0
+
+
+def test_curriculum_bench_measured_smoke():
+    """Measured mode: 500-epoch ceiling runs with per-stage decode
+    accuracy (toy geometry here; the real run happens on the chip)."""
+    r = _run("curriculum_bench.py", {
+        "MGR_TPU_CB_NTRAIN": "4", "MGR_TPU_CB_NVAL": "2",
+        "MGR_TPU_CB_EPOCHS": "2", "MGR_TPU_CB_MAXLEN": "16",
+        "MGR_TPU_CB_BATCH": "2", "MGR_TPU_CB_HIDDEN_SCALE": "0.02",
+        "MGR_TPU_CB_MEASURED": "1",
+    })
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["measured"] is True
+    assert out["measured_total_s"] > 0
+    for stage in out["stages"].values():
+        assert "train_accuracy" in stage and "epochs_run" in stage

@@ -230,8 +230,13 @@ def test_decode_step_dp_mesh_matches_single_device():
         np.testing.assert_array_equal(best_m, best_1)
         np.testing.assert_array_equal(emit_m, emit_1)
 
-    # None lengths path under a mesh (synthesized full lengths).
+    # None lengths path under a mesh (synthesized full lengths) must
+    # equal the single-device None-lengths decode VALUE-wise, not just
+    # in shape (ADVICE r2): lengths come from the actual time axis.
+    step_1 = make_decode_step(model, threshold=0.3, trim_frames=2)
+    best_1n, emit_1n = step_1(params, batch["inputs"])
     step = make_decode_step(model, threshold=0.3, trim_frames=2,
                             mesh=make_mesh(cfglib.MeshConfig(data=N_DEV)))
     best_n, emit_n = step(params, batch["inputs"])
-    assert best_n.shape == best_1.shape and emit_n.shape == emit_1.shape
+    np.testing.assert_array_equal(np.asarray(best_n), np.asarray(best_1n))
+    np.testing.assert_array_equal(np.asarray(emit_n), np.asarray(emit_1n))
