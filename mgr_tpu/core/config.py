@@ -101,6 +101,11 @@ class CNNConfig:
     kernel_sizes: Tuple[int, ...] = (5, 5, 4)
     pool_sizes: Tuple[int, ...] = (2, 2, 2)
     img_dim: int = 60
+    # Rematerialize the conv frontend in the backward pass: the
+    # (B*T, 56, 56, 16)-scale conv activations dominate RGB residual
+    # memory (the B=16 HBM cap, BASELINE.md); jax.checkpoint trades one
+    # extra conv forward for them, lifting the batch ceiling.
+    remat: bool = True
 
 
 @dataclass(frozen=True)

@@ -115,8 +115,17 @@ def _build_rgb(cfg: PipelineConfig) -> ModelDef:
             "head": _head_init(rng, enc_out, cfg.nb_classes),
         }
 
+    def _frontend(cnn_params, x):
+        return layers.cnn_frontend(cnn_params, x, cfg.cnn, compute_dtype=dt)
+
+    if cfg.cnn.remat:
+        # Recompute the conv stack in the backward pass instead of
+        # storing its (B*T, 56, 56, 16)-scale activations — they are
+        # the RGB pipeline's residual-memory wall (CNNConfig.remat).
+        _frontend = jax.checkpoint(_frontend)
+
     def apply_tm(params, x, *, train=False, rng=None):
-        feats = layers.cnn_frontend(params["cnn"], x, cfg.cnn, compute_dtype=dt)
+        feats = _frontend(params["cnn"], x)
         h = apply_encoder_tm(
             params["encoder"], jnp.swapaxes(feats, 0, 1), cfg.encoder,
             train=train, rng=rng, compute_dtype=dt,
