@@ -178,3 +178,37 @@ def test_checkpoint_every_preserves_true_best(speech_data, tmp_path):
         p2 = load_params_for_eval(model, wd_throttled, slot=slot)
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_monitor_train_and_keep_best_state(speech_data, tmp_path):
+    """fit(monitor='train', keep_best_state=True): best selection
+    follows TRAIN loss and the returned best_state matches the best
+    checkpoint on disk. (Round-2 failure mode: on memorization corpora
+    best-val selects the least-trained state, so the fusion graft froze
+    a blank-basin encoder.)"""
+    import jax
+
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    model = build_model(cfg)
+
+    res = fit(model, ds, workdir=str(tmp_path), epochs=5,
+              monitor="train", keep_best_state=True, checkpoint_every=2)
+    # best_val_loss now tracks the monitored (train) loss.
+    best_train = min(rec["train_loss"] for rec in res.history)
+    assert res.best_val_loss == pytest.approx(best_train, rel=1e-6)
+    # The retained copy exists and equals the on-disk best slot.
+    assert res.best_state is not None
+    p_disk = load_params_for_eval(model, str(tmp_path), slot="best")
+    for a, b in zip(jax.tree.leaves(p_disk),
+                    jax.tree.leaves(res.best_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_keep_best_state_default_off(speech_data, tmp_path):
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    res = fit(build_model(cfg), ds, workdir=None, epochs=2)
+    assert res.best_state is None
