@@ -156,3 +156,78 @@ def test_full_agreement_with_htk_reference(make_sig):
     got = np.asarray(mfcc.mfcc_39(jnp.asarray(sig), CFG))
     scale = np.abs(want).max() + 1e-6
     np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form pins from the HTK Book itself (§5.3-5.6, 3.4 edition) —
+# external to tests/htk_ref.py, so a SHARED misreading of HTK's
+# conventions in both implementations would still be caught for these
+# stages (VERDICT r2 item 7). A true HCopy binary output remains
+# unavailable in this environment (no HTK, no egress); that residual
+# limitation is recorded in PARITY.md row 22.
+# ---------------------------------------------------------------------------
+
+
+def test_dct_matrix_closed_forms():
+    """HTK Book eq. (5.14): c_i = sqrt(2/N) sum_j m_j cos(pi i (j-0.5)/N).
+
+    Pins, by hand-derivable identities: (a) a FLAT log-mel vector has
+    all higher cepstra exactly 0 and C0 = sqrt(2/N) * N * v; (b) a
+    single-cosine log-mel m_j = cos(pi i0 (j-0.5)/N) lands on exactly
+    one cepstral bin with value sqrt(N/2) (cosine orthogonality)."""
+    N = 26
+    dct = np.asarray(mfcc._dct_matrix(N, 12))  # (N, 13), col 0 = C0
+
+    v = 1.7
+    ceps = (np.full(N, v) @ dct).astype(np.float64)
+    np.testing.assert_allclose(ceps[0], np.sqrt(2.0 / N) * N * v,
+                               rtol=1e-6)
+    np.testing.assert_allclose(ceps[1:], 0.0, atol=1e-5)
+
+    for i0 in (1, 5, 12):
+        m = np.cos(np.pi * i0 * (np.arange(N) + 0.5) / N)
+        ceps = m @ dct
+        want = np.zeros(13)
+        want[i0] = np.sqrt(N / 2.0)
+        np.testing.assert_allclose(ceps, want, atol=1e-5)
+
+
+def test_lifter_closed_forms():
+    """HTK Book eq. (5.15): c'_n = (1 + (L/2) sin(pi n / L)) c_n, L=22.
+
+    Hand values: n=11 -> 1 + 11 sin(pi/2) = 12 exactly; the window is
+    symmetric about n=11 (sin(pi(11-k)/22) = sin(pi(11+k)/22))."""
+    w = np.asarray(mfcc._lifter_weights(12, 22), np.float64)
+    np.testing.assert_allclose(w[10], 12.0, rtol=1e-6)  # n = 11 (1-based)
+    # Symmetry about n = 11: n = 10 and n = 12 share a weight.
+    np.testing.assert_allclose(w[9], w[11], rtol=1e-6)
+    # Hand-evaluated sines for n = 1..12.
+    for n in range(1, 13):
+        np.testing.assert_allclose(
+            w[n - 1], 1.0 + 11.0 * np.sin(np.pi * n / 22.0), rtol=1e-6
+        )
+
+
+def test_mel_scale_closed_form():
+    """HTK Book eq. (5.13): Mel(f) = 2595 log10(1 + f/700)."""
+    for f in (0.0, 700.0, 1000.0, 4000.0):
+        np.testing.assert_allclose(
+            mfcc._hz_to_mel(f), 2595.0 * np.log10(1.0 + f / 700.0),
+            rtol=1e-6,
+        )
+    # Round-trip.
+    np.testing.assert_allclose(mfcc._mel_to_hz(mfcc._hz_to_mel(1234.5)),
+                               1234.5, rtol=1e-6)
+
+
+def test_hamming_window_closed_form():
+    """HTK Book eq. (5.2): w(n) = 0.54 - 0.46 cos(2 pi n / (N-1));
+    endpoints are exactly 0.08."""
+    N = 400
+    w = np.hamming(N)  # the window static_mfcc applies
+    np.testing.assert_allclose(w[0], 0.08, rtol=1e-12)
+    np.testing.assert_allclose(w[-1], 0.08, rtol=1e-12)
+    n = np.arange(N)
+    np.testing.assert_allclose(
+        w, 0.54 - 0.46 * np.cos(2 * np.pi * n / (N - 1)), rtol=1e-12
+    )
