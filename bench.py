@@ -151,11 +151,17 @@ def main() -> None:
                     choices=sorted(PIPELINES))
     ap.add_argument("--batch", type=int, default=0,
                     help="override the pipeline's HBM-cap default")
+    ap.add_argument("--no-cnn-remat", action="store_true",
+                    help="rgb A/B: disable the conv-frontend remat")
     args = ap.parse_args()
     spec = PIPELINES[args.pipeline]
     B = args.batch or spec["batch"]
 
     cfg = cfglib.get_preset(args.pipeline).replace(batch_size=B)
+    if args.no_cnn_remat and cfg.cnn is not None:
+        import dataclasses
+
+        cfg = cfg.replace(cnn=dataclasses.replace(cfg.cnn, remat=False))
     model = build_model(cfg)
     n_chips = max(len(jax.devices()), 1)
 
