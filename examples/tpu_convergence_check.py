@@ -114,8 +114,15 @@ def _run_fusion(root):
     sk_csv, sk_labels, labels = synthetic.make_skeletal_dataset(
         root, n_files=N_FILES, frames_per_label=24, max_labels=4, seed=4,
     )
+    # Audio at 5x the skeletal frame rate: after the pipeline's x5
+    # downsample both streams advance through the SAME gesture at the
+    # same frame index, like the real dataset (shared session clock).
+    # A mismatched rate (150 -> 30 post-downsample vs skeletal's 24)
+    # makes the streams assert DIFFERENT gestures at the same frame —
+    # measured: that ceiling held fusion at train loss ~3 with 0.0
+    # argmax accuracy even with perfect (1.0 / 0.997) frozen encoders.
     audio_dir, _, _ = synthetic.make_audio_dataset(
-        root, n_files=N_FILES, n_classes=22, frames_per_label=150,
+        root, n_files=N_FILES, n_classes=22, frames_per_label=120,
         seed=0, labels=labels,
     )
 
