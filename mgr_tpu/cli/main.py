@@ -46,6 +46,15 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
                         "effective batch can exceed the HBM ceiling")
     p.add_argument("--lr", type=float, default=None,
                    help="override the preset learning rate")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="write checkpoints every N epochs (the true best "
+                        "state is retained in memory and still flushed); "
+                        "raise when per-epoch ~100MB serialization would "
+                        "dwarf sub-second epochs")
+    p.add_argument("--monitor", choices=("val", "train"), default="val",
+                   help="loss that drives the best checkpoint and early "
+                        "stopping; 'train' suits memorization/diagnostic "
+                        "corpora where val loss only rises")
 
 
 def _config_for(args, name: str):
@@ -141,14 +150,18 @@ def cmd_train(args) -> int:
         with tracing.trace(args.trace_dir):
             res = fit(model, data, workdir=args.workdir,
                       mesh=_mesh_for(cfg), resume=True, epochs=args.epochs,
-                      async_checkpoints=args.async_checkpoints)
+                      async_checkpoints=args.async_checkpoints,
+                      checkpoint_every=args.checkpoint_every,
+                      monitor=args.monitor)
     else:
         model = build_model(cfg)
         with tracing.trace(args.trace_dir):
             res = fit(model, data, workdir=args.workdir,
                       mesh=_mesh_for(cfg), resume=args.resume,
                       epochs=args.epochs,
-                      async_checkpoints=args.async_checkpoints)
+                      async_checkpoints=args.async_checkpoints,
+                      checkpoint_every=args.checkpoint_every,
+                      monitor=args.monitor)
     print(json.dumps({
         "pipeline": args.pipeline,
         "best_val_loss": res.best_val_loss,
