@@ -111,19 +111,32 @@ def _run_fusion(root):
     )
     os.makedirs(workdir, exist_ok=True)
 
+    # ChaLearn-density corpus: up to 20 gestures/sample at ~90 skeletal
+    # frames each (~20 fps), so content fills most of the 1900-frame
+    # window like the real data (each ChaLearn session has 8-20
+    # gestures). Measured: a 4-label/96-frame corpus (95% padding) holds
+    # the frozen-encoder fusion head in the CTC all-blank basin for
+    # thousands of epochs — a synthetic-geometry artifact the real task
+    # does not have, and the uni-modal stages escape only because their
+    # encoders are trainable.
+    fusion_fpl = int(os.environ.get("MGR_TPU_CONV_FUSION_FPL", "90"))
+    fusion_max_labels = int(
+        os.environ.get("MGR_TPU_CONV_FUSION_LABELS", "20")
+    )
     sk_csv, sk_labels, labels = synthetic.make_skeletal_dataset(
-        root, n_files=N_FILES, frames_per_label=24, max_labels=4, seed=4,
+        root, n_files=N_FILES, frames_per_label=fusion_fpl,
+        max_labels=fusion_max_labels, seed=4,
     )
     # Audio at 5x the skeletal frame rate: after the pipeline's x5
     # downsample both streams advance through the SAME gesture at the
     # same frame index, like the real dataset (shared session clock).
     # A mismatched rate (150 -> 30 post-downsample vs skeletal's 24)
     # makes the streams assert DIFFERENT gestures at the same frame —
-    # measured: that ceiling held fusion at train loss ~3 with 0.0
-    # argmax accuracy even with perfect (1.0 / 0.997) frozen encoders.
+    # measured: with perfect (1.0 / 0.997) frozen encoders that ceiling
+    # held fusion at train loss ~3 with 0.0 argmax accuracy.
     audio_dir, _, _ = synthetic.make_audio_dataset(
-        root, n_files=N_FILES, n_classes=22, frames_per_label=120,
-        seed=0, labels=labels,
+        root, n_files=N_FILES, n_classes=22,
+        frames_per_label=5 * fusion_fpl, seed=0, labels=labels,
     )
 
     # Full budget for the encoders too: the fusion head is trained on
