@@ -217,6 +217,25 @@ def _run_fusion(root):
     res = fit(model, fusion_ds, workdir=workdir, resume=True,
               epochs=EPOCHS, checkpoint_every=100,
               monitor="train", keep_best_state=True)
+    # Optional LR-anneal leg (MGR_TPU_CONV_LR2 / _EPOCHS2): continue
+    # from the latest checkpoint at a lower LR — the big-batch escape
+    # LR (3e-3 vs the reference's 1e-4) leaves an oscillation floor
+    # around loss ~4.5 once the head is out of the blank basin.
+    lr2 = float(os.environ.get("MGR_TPU_CONV_LR2", "0") or 0)
+    epochs2 = int(os.environ.get("MGR_TPU_CONV_EPOCHS2", "0") or 0)
+    if lr2 > 0 and epochs2 > 0:
+        from mgr_tpu.models import build_model as _bm
+
+        lf_cfg2 = lf_cfg.replace(
+            optimizer=cfglib.OptimizerConfig(
+                learning_rate=lr2, decay=1e-5, maxnorm=3.0,
+            ),
+        )
+        model = _bm(lf_cfg2,
+                    source_configs={"speech": sp_cfg, "skeletal": sk_cfg})
+        res = fit(model, fusion_ds, workdir=workdir, resume=True,
+                  epochs=EPOCHS + epochs2, checkpoint_every=100,
+                  monitor="train", keep_best_state=True)
     wall = time.time() - t0
     best = res.best_state if res.best_state is not None else res.state
     acc = evaluate_accuracy(model, best.params, fusion_ds,
@@ -239,7 +258,8 @@ def _run_fusion(root):
         "train_wer": round(acc["wer"], 4),
         "train_accuracy_no_threshold": round(acc0["accuracy"], 4),
         "encoder_train_accuracy": encoder_quality,
-        "epochs": res.epochs_run,
+        "epochs": EPOCHS,
+        "anneal_epochs": epochs2 if (lr2 > 0 and epochs2 > 0) else 0,
         "pretrain_epochs": pretrain_epochs,
         "wall_s": round(wall, 1),
         "best_train_loss": round(res.best_val_loss, 3),
