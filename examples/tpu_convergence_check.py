@@ -157,16 +157,19 @@ def _run_fusion(root):
         ("skeletal", sk_cfg,
          datasets.build_skeletal_dataset(sk_csv, sk_labels, sk_cfg)),
     ):
-        if not _ck.has_checkpoint(workdir, name, "best"):
-            # monitor="train": the "best" slot must hold the
-            # best-TRAIN state — best-val on a memorization corpus is
-            # the blank-basin state (round-2 failure mode: fusion froze
-            # encoders grafted from exactly that slot).
-            # checkpoint_every: serializing ~100 MB trees per
-            # sub-second epoch would dominate the run.
-            fit(build_model(cfg), ds, workdir=workdir,
-                epochs=pretrain_epochs, checkpoint_every=100,
-                monitor="train")
+        # monitor="train": the "best" slot must hold the
+        # best-TRAIN state — best-val on a memorization corpus is
+        # the blank-basin state (round-2 failure mode: fusion froze
+        # encoders grafted from exactly that slot).
+        # checkpoint_every: serializing ~100 MB trees per
+        # sub-second epoch would dominate the run.
+        # resume=True makes the pretrain idempotent AND restartable:
+        # fit() derives start_epoch from the checkpointed step, so a
+        # killed run continues where it left off, and a finished one
+        # returns immediately (start_epoch >= epochs).
+        fit(build_model(cfg), ds, workdir=workdir, resume=True,
+            epochs=pretrain_epochs, checkpoint_every=100,
+            monitor="train")
         # Gate the graft on measured encoder quality: a fusion head on
         # frozen garbage features cannot converge, so prove the inputs.
         from mgr_tpu.train.loop import load_params_for_eval
