@@ -43,6 +43,15 @@ LR = float(os.environ.get("MGR_TPU_CONV_LR", "3e-3"))
 # "" runs speech+skeletal; each pipeline name runs that stage alone:
 # speech | skeletal | late_fusion | early_fusion | rgb
 ONLY = os.environ.get("MGR_TPU_CONV_ONLY", "")
+# CPU smoke knob only (tests/test_examples.py): shrinks every hidden
+# width so the full fusion path (pretrain-resume -> graft -> anneal)
+# runs in seconds on the 1-CPU host. The real check always runs at the
+# production widths (scale 1).
+HIDDEN_SCALE = float(os.environ.get("MGR_TPU_CONV_HIDDEN_SCALE", "1"))
+
+
+def _scaled(hidden: int) -> int:
+    return max(4, int(hidden * HIDDEN_SCALE))
 
 
 def _parity_overrides(cfg, hidden):
@@ -52,7 +61,7 @@ def _parity_overrides(cfg, hidden):
     cfg = cfg.replace(
         maxlen=MAXLEN, batch_size=BATCH,
         encoder=cfglib.EncoderConfig(
-            hidden=hidden, depth=2, input_noise=0.05,
+            hidden=_scaled(hidden), depth=2, input_noise=0.05,
             dropout=(0.02, 0.02), output_dropout=0.02,
             per_gate_dropout=True,
         ),
@@ -183,6 +192,7 @@ def _run_fusion(root):
     lf = cfglib.get_preset("late_fusion")
     lf_cfg = lf.replace(
         maxlen=MAXLEN, batch_size=BATCH,
+        fusion_hidden=_scaled(lf.fusion_hidden),
         encoder=dataclasses.replace(
             lf.encoder, input_noise=0.05, output_dropout=0.02,
             per_gate_dropout=True,
@@ -296,8 +306,14 @@ def _run_rgb(root):
     data_dir, label_file, _ = synthetic.make_rgb_dataset(
         root, n_files=files, frames_per_label=16, max_labels=4, seed=3,
     )
-    cfg = cfglib.get_preset("rgb").replace(
+    import dataclasses as _dc
+
+    rgb_preset = cfglib.get_preset("rgb")
+    cfg = rgb_preset.replace(
         maxlen=maxlen,
+        encoder=_dc.replace(
+            rgb_preset.encoder, hidden=_scaled(rgb_preset.encoder.hidden)
+        ),
         batch_size=int(os.environ.get("MGR_TPU_CONV_RGB_BATCH", "8")),
         optimizer=cfglib.OptimizerConfig(
             learning_rate=float(

@@ -46,6 +46,60 @@ def test_curriculum_bench_smoke():
         assert stage["epoch_s"] > 0
 
 
+_CONV_TOY = {
+    # Toy geometry for the convergence-check script: the REAL check runs
+    # at production widths on the chip; these exercise the exact code
+    # paths (pretrain-resume, graft, anneal leg, rgb/early-fusion
+    # stages) on the CPU backend.
+    "MGR_TPU_CONV_HIDDEN_SCALE": "0.02",
+    "MGR_TPU_CONV_FILES": "6",
+    "MGR_TPU_CONV_EPOCHS": "2",
+    "MGR_TPU_CONV_MAXLEN": "64",
+    "MGR_TPU_CONV_BATCH": "2",
+}
+
+
+def test_convergence_check_late_fusion_smoke():
+    """Full fusion chain incl. the LR-anneal leg and the idempotent
+    resume=True pretrains (the round-3 headline path)."""
+    r = _run("tpu_convergence_check.py", {
+        **_CONV_TOY,
+        "MGR_TPU_CONV_ONLY": "late_fusion",
+        "MGR_TPU_CONV_PRETRAIN": "2",
+        "MGR_TPU_CONV_FUSION_FPL": "4",
+        "MGR_TPU_CONV_FUSION_LABELS": "3",
+        "MGR_TPU_CONV_LR2": "1e-3",
+        "MGR_TPU_CONV_EPOCHS2": "1",
+    })
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    lf = out["late_fusion"]
+    assert lf["anneal_epochs"] == 1
+    assert set(lf["encoder_train_accuracy"]) == {"speech", "skeletal"}
+    assert "train_accuracy_no_threshold" in lf
+
+
+def test_convergence_check_rgb_smoke():
+    r = _run("tpu_convergence_check.py", {
+        **_CONV_TOY,
+        "MGR_TPU_CONV_ONLY": "rgb",
+        "MGR_TPU_CONV_RGB_MAXLEN": "16",
+        "MGR_TPU_CONV_RGB_FILES": "4",
+        "MGR_TPU_CONV_RGB_BATCH": "2",
+    })
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "train_accuracy" in out["rgb"]
+
+
+def test_convergence_check_early_fusion_smoke():
+    r = _run("tpu_convergence_check.py",
+             {**_CONV_TOY, "MGR_TPU_CONV_ONLY": "early_fusion"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "train_accuracy" in out["early_fusion"]
+
+
 def test_curriculum_bench_measured_smoke():
     """Measured mode: 500-epoch ceiling runs with per-stage decode
     accuracy (toy geometry here; the real run happens on the chip)."""
