@@ -155,6 +155,22 @@ def _run_fusion(root):
     # MGR_TPU_CONV_PRETRAIN.
     pretrain_epochs = int(os.environ.get("MGR_TPU_CONV_PRETRAIN", "0")) \
         or EPOCHS
+    # LR-anneal legs for the PRETRAINS (MGR_TPU_CONV_PRETRAIN_LR2 /
+    # _PRETRAIN_EPOCHS2), mirroring the fusion-stage anneal below.
+    # Measured (round 3, /tmp/fusion_r3e.log): at the ChaLearn-density
+    # corpus the skeletal BiLSTM(300)x2 at the big-batch escape LR 3e-3
+    # OSCILLATES at train loss 9-31 for 1900 epochs (grad norms ~10,
+    # one excursion to 31) — an LR floor, not a capacity limit — which
+    # starves the frozen-encoder fusion stage (encoder train accuracy
+    # 0.186; fusion then plateaus at ~1 nat/label). The same two-phase
+    # schedule that fixes fusion (escape at 3e-3, anneal to converge)
+    # is what the pretrains need.
+    pretrain_lr2 = float(
+        os.environ.get("MGR_TPU_CONV_PRETRAIN_LR2", "0") or 0
+    )
+    pretrain_epochs2 = int(
+        os.environ.get("MGR_TPU_CONV_PRETRAIN_EPOCHS2", "0") or 0
+    )
     sp_cfg = _parity_overrides(cfglib.get_preset("speech"), 500)
     sk_cfg = _parity_overrides(cfglib.get_preset("skeletal"), 300)
     from mgr_tpu.core import checkpoint as _ck
@@ -179,6 +195,15 @@ def _run_fusion(root):
         fit(build_model(cfg), ds, workdir=workdir, resume=True,
             epochs=pretrain_epochs, checkpoint_every=100,
             monitor="train")
+        if pretrain_lr2 > 0 and pretrain_epochs2 > 0:
+            cfg2 = cfg.replace(
+                optimizer=cfglib.OptimizerConfig(
+                    learning_rate=pretrain_lr2, decay=1e-5, maxnorm=3.0,
+                ),
+            )
+            fit(build_model(cfg2), ds, workdir=workdir, resume=True,
+                epochs=pretrain_epochs + pretrain_epochs2,
+                checkpoint_every=100, monitor="train")
         # Gate the graft on measured encoder quality: a fusion head on
         # frozen garbage features cannot converge, so prove the inputs.
         from mgr_tpu.train.loop import load_params_for_eval

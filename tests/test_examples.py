@@ -66,6 +66,8 @@ def test_convergence_check_late_fusion_smoke():
         **_CONV_TOY,
         "MGR_TPU_CONV_ONLY": "late_fusion",
         "MGR_TPU_CONV_PRETRAIN": "2",
+        "MGR_TPU_CONV_PRETRAIN_LR2": "1e-3",
+        "MGR_TPU_CONV_PRETRAIN_EPOCHS2": "1",
         "MGR_TPU_CONV_FUSION_FPL": "4",
         "MGR_TPU_CONV_FUSION_LABELS": "3",
         "MGR_TPU_CONV_LR2": "1e-3",
