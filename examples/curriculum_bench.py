@@ -186,6 +186,15 @@ def main() -> None:
                 ),
                 fusion_dropout=0.02,
                 fusion_output_dropout=0.02,
+                # Anneal the big-batch escape LR once train loss hits
+                # its oscillation floor (ReduceLROnPlateau on the
+                # monitored=train loss): at a content-dense corpus the
+                # skeletal stage bounces at 3e-3 indefinitely
+                # (measured round 3); the reference's own mechanism
+                # (cnn_lstm.py:439-444) is the remedy.
+                reduce_lr_factor=0.5,
+                reduce_lr_patience=15,
+                reduce_lr_min=1e-4,
             )
         if MAXLEN:
             cfg = cfg.replace(maxlen=MAXLEN)

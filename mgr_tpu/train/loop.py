@@ -251,8 +251,14 @@ def fit(
             # with Keras 2.1.4, whose callback breaks on wait >= patience).
             if wait >= cfg.patience:
                 break
-        if plateau is not None and val_loss is not None:
-            lr_scale = plateau.update(val_loss)
+        # The plateau controller follows the MONITORED loss: val by
+        # default (keras ReduceLROnPlateau semantics, cnn_lstm.py:439),
+        # train loss under monitor="train" — memorization corpora have
+        # no meaningful val signal, and the large-batch escape LR needs
+        # annealing once train loss hits its oscillation floor
+        # (measured: skeletal at 3e-3 bounces in 9-31 for 1900 epochs).
+        if plateau is not None and monitored == monitored:
+            lr_scale = plateau.update(monitored)
 
     # Final flush: the run must always end with the latest state and the
     # true best state on disk, whatever the checkpoint cadence.

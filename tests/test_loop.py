@@ -87,6 +87,32 @@ def test_early_stopping(speech_data, tmp_path):
         assert res.epochs_run == expect, (patience, res.epochs_run)
 
 
+def test_plateau_follows_train_monitor(speech_data):
+    """ReduceLROnPlateau tracks the MONITORED loss: under
+    monitor="train" a flat train loss must anneal the LR (memorization
+    corpora have no meaningful val signal; measured round 3 — skeletal
+    at the big-batch LR oscillates at its floor indefinitely without
+    this)."""
+    data_dir, label_file = speech_data
+    # Deterministic train loss: no noise/dropout + (numerically) zero
+    # LR, so the monitored loss never improves and the plateau fires
+    # every `reduce_lr_patience` epochs.
+    enc = cfglib.EncoderConfig(hidden=8, depth=2, input_noise=0.0,
+                               dropout=(0.0, 0.0), output_dropout=0.0)
+    cfg = _speech_cfg(
+        encoder=enc,
+        optimizer=cfglib.OptimizerConfig(learning_rate=1e-12),
+        reduce_lr_factor=0.5, reduce_lr_patience=1, reduce_lr_min=1e-18,
+    )
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    res = fit(build_model(cfg), ds, workdir=None, epochs=4,
+              monitor="train")
+    scales = [rec["lr_scale"] for rec in res.history]
+    assert scales[0] == 1.0
+    assert scales[-1] < 1.0, scales
+    assert scales == sorted(scales, reverse=True), scales
+
+
 def test_checkpoint_state_roundtrip_exact(tmp_path):
     cfg = _speech_cfg()
     model = build_model(cfg)
