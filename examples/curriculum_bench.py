@@ -68,6 +68,11 @@ HIDDEN_SCALE = float(os.environ.get("MGR_TPU_CB_HIDDEN_SCALE", "1"))
 # a 500-epoch run cannot escape the CTC all-blank basin — linear LR
 # scaling is the standard remedy). Short mode never reads this.
 LR = float(os.environ.get("MGR_TPU_CB_LR", "3e-3"))
+# Host-sync cadence (fit(sync_every=...)). Default 1 keeps per-epoch
+# wall fidelity for the projection; raise it on the relay-attached chip
+# to cut host round-trips (epoch_s then amortizes each window's wall
+# over its epochs_in_record).
+SYNC_EVERY = int(os.environ.get("MGR_TPU_CB_SYNC_EVERY", "1"))
 REF_EPOCH_CEILING = 500
 REF_TOTAL_HOURS = 100.0
 
@@ -127,10 +132,15 @@ def _bench_stage(cfg, data, workdir, *, resume=False):
         checkpoint_every=100,
         monitor="train" if MEASURED else "val",
         keep_best_state=MEASURED,
+        sync_every=SYNC_EVERY,
     )
     wall = time.time() - t0
     steady = result.history[2:] or result.history
-    epoch_s = statistics.median(rec["wall_s"] for rec in steady)
+    # At sync_every>1 each record covers a window; amortize its wall
+    # over the epochs it contains.
+    epoch_s = statistics.median(
+        rec["wall_s"] / rec.get("epochs_in_record", 1) for rec in steady
+    )
     out = {
         "epoch_s": round(epoch_s, 3),
         "as_run_s": round(wall, 1),

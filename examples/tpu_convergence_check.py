@@ -48,6 +48,12 @@ ONLY = os.environ.get("MGR_TPU_CONV_ONLY", "")
 # runs in seconds on the 1-CPU host. The real check always runs at the
 # production widths (scale 1).
 HIDDEN_SCALE = float(os.environ.get("MGR_TPU_CONV_HIDDEN_SCALE", "1"))
+# Host-sync cadence (fit(sync_every=...)): sub-second epochs at
+# per-epoch sync mean several relay round-trips per second, which
+# measurably degrades the TPU tunnel over multi-thousand-epoch runs
+# (round-3 notes). 10 cuts the traffic 10x at a 10-epoch best-state
+# granularity — irrelevant here, the eval gate measures the slots.
+SYNC = int(os.environ.get("MGR_TPU_CONV_SYNC", "10"))
 
 
 def _scaled(hidden: int) -> int:
@@ -84,7 +90,7 @@ def _run(name, cfg, ds):
     model = build_model(cfg)
     t0 = time.time()
     res = fit(model, ds, workdir=None, epochs=EPOCHS,
-              monitor="train", keep_best_state=True)
+              monitor="train", keep_best_state=True, sync_every=SYNC)
     wall = time.time() - t0
     best = res.best_state if res.best_state is not None else res.state
     train_acc = evaluate_accuracy(model, best.params, ds,
@@ -194,7 +200,7 @@ def _run_fusion(root):
         # returns immediately (start_epoch >= epochs).
         fit(build_model(cfg), ds, workdir=workdir, resume=True,
             epochs=pretrain_epochs, checkpoint_every=100,
-            monitor="train")
+            monitor="train", sync_every=SYNC)
         if pretrain_lr2 > 0 and pretrain_epochs2 > 0:
             cfg2 = cfg.replace(
                 optimizer=cfglib.OptimizerConfig(
@@ -203,7 +209,7 @@ def _run_fusion(root):
             )
             fit(build_model(cfg2), ds, workdir=workdir, resume=True,
                 epochs=pretrain_epochs + pretrain_epochs2,
-                checkpoint_every=100, monitor="train")
+                checkpoint_every=100, monitor="train", sync_every=SYNC)
         # Gate the graft on measured encoder quality: a fusion head on
         # frozen garbage features cannot converge, so prove the inputs.
         from mgr_tpu.train.loop import load_params_for_eval
@@ -254,7 +260,7 @@ def _run_fusion(root):
     t0 = time.time()
     res = fit(model, fusion_ds, workdir=workdir, resume=True,
               epochs=EPOCHS, checkpoint_every=100,
-              monitor="train", keep_best_state=True)
+              monitor="train", keep_best_state=True, sync_every=SYNC)
     # Optional LR-anneal leg (MGR_TPU_CONV_LR2 / _EPOCHS2): continue
     # from the latest checkpoint at a lower LR — the big-batch escape
     # LR (3e-3 vs the reference's 1e-4) leaves an oscillation floor
@@ -273,7 +279,8 @@ def _run_fusion(root):
                     source_configs={"speech": sp_cfg, "skeletal": sk_cfg})
         res = fit(model, fusion_ds, workdir=workdir, resume=True,
                   epochs=EPOCHS + epochs2, checkpoint_every=100,
-                  monitor="train", keep_best_state=True)
+                  monitor="train", keep_best_state=True,
+                  sync_every=SYNC)
     wall = time.time() - t0
     best = res.best_state if res.best_state is not None else res.state
     acc = evaluate_accuracy(model, best.params, fusion_ds,

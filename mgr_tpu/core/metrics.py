@@ -43,6 +43,12 @@ class MetricsLogger:
         self._epoch_seqs = 0
         self._epoch = epoch
 
+    def note_epoch(self, epoch: int) -> None:
+        """Advance the epoch label WITHOUT resetting the wall/seq
+        counters — used by fit(sync_every>1), where one record covers a
+        window of epochs and wall/throughput accumulate across it."""
+        self._epoch = epoch
+
     def step(self, loss: float, batch_size: int, **extra: Any) -> None:
         self._epoch_seqs += batch_size
         self.log({"kind": "step", "loss": float(loss), **extra})

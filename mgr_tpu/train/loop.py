@@ -61,6 +61,7 @@ def fit(
     checkpoint_every: int = 1,
     monitor: str = "val",
     keep_best_state: bool = False,
+    sync_every: int = 1,
 ) -> FitResult:
     """Train one pipeline.
 
@@ -84,7 +85,19 @@ def fit(
 
     ``keep_best_state`` — retain a device copy of the best-epoch state
     and return it as ``FitResult.best_state`` (robust to late-training
-    divergence of the final state; costs a second tree in HBM)."""
+    divergence of the final state; costs a second tree in HBM).
+
+    ``sync_every`` — host-sync cadence in epochs. At K>1 the loop
+    dispatches K epochs of train steps back-to-back, runs the val pass
+    only on sync epochs, and fetches the whole window's losses in ONE
+    stacked device->host transfer, emitting one metrics/history record
+    per window (``epochs_in_record`` marks the coverage). Best/early
+    -stop/plateau decisions are made per fetched train loss (or once
+    per window under ``monitor="val"``, so ``patience`` then counts
+    windows), and the retained best state is the WINDOW-END state
+    (granularity K). Built for remote-attached TPUs: sub-second epochs
+    at sync_every=1 mean several relay round-trips per second, which
+    measurably degrades the tunnel over long runs (round-3 notes)."""
     cfg = model.config
     stamp = cfg.name
     epochs = epochs if epochs is not None else cfg.epochs
@@ -158,12 +171,20 @@ def fit(
 
     # step counter must advance deterministically for the rng fold; the
     # per-step host sync (float(loss)) is deliberately absent — losses
-    # stay on device and reduce to ONE fetch per epoch, keeping the
-    # device pipeline full (a per-step sync stalls remote-attached TPUs).
+    # stay on device and reduce to ONE fetch per sync window, keeping
+    # the device pipeline full (a per-step sync stalls remote-attached
+    # TPUs).
     host_step = int(state.step)
+    sync_every = max(int(sync_every), 1)
+    win_losses = []  # per-epoch device mean-loss scalars in this window
+    win_gnorms = []
+    stop = False
     epoch = start_epoch
     for epoch in range(start_epoch, epochs):
-        metrics.start_epoch(epoch)
+        if not win_losses:
+            metrics.start_epoch(epoch)  # window start: reset wall/seqs
+        else:
+            metrics.note_epoch(epoch)
         losses = []
         gnorms = []
         n_seqs = 0
@@ -190,14 +211,20 @@ def fit(
             losses.append(m["loss"])
             gnorms.append(m["grad_norm"])
             n_seqs += cfg.batch_size
-        if losses:
-            train_loss = float(jnp.stack(losses).mean())
-            grad_norm = float(jnp.stack(gnorms).mean())
-        else:
-            train_loss, grad_norm = float("nan"), float("nan")
+        nan = jnp.asarray(float("nan"))
+        win_losses.append(jnp.stack(losses).mean() if losses else nan)
+        win_gnorms.append(jnp.stack(gnorms).mean() if gnorms else nan)
         metrics.add_seqs(n_seqs)
 
-        # Validation pass (no dropout/noise).
+        save_now = (epoch - start_epoch + 1) % max(checkpoint_every, 1) == 0
+        if save_now:
+            _save("latest")
+
+        if len(win_losses) < sync_every and epoch != epochs - 1:
+            continue  # keep the device pipeline full; no host sync yet
+
+        # ---- window sync: val pass + ONE stacked host transfer ----
+        # Validation pass (no dropout/noise), sync epochs only.
         val_losses = []
         if device_data:
             for _, idx in data.epoch_indices(cfg.batch_size, train=False):
@@ -209,34 +236,63 @@ def fit(
                 if mesh is not None:
                     batch = shard_lib.shard_batch(batch, mesh)
                 val_losses.append(eval_step(state.params, batch))
-        val_loss = (
-            float(jnp.stack(val_losses).mean()) if val_losses else None
+        n_win = len(win_losses)
+        fetched = np.asarray(
+            jnp.stack(win_losses + win_gnorms + val_losses)
         )
+        train_seq = [float(x) for x in fetched[:n_win]]
+        grad_norm = float(fetched[2 * n_win - 1])
+        val_loss = (
+            float(fetched[2 * n_win:].mean()) if val_losses else None
+        )
+        train_loss = train_seq[-1]
 
         rec = metrics.end_epoch(
-            train_loss, val_loss, lr_scale=lr_scale, grad_norm=grad_norm
+            train_loss, val_loss, lr_scale=lr_scale, grad_norm=grad_norm,
+            **({"epochs_in_record": n_win} if sync_every > 1 else {}),
         )
         history.append(rec)
 
-        save_now = (epoch - start_epoch + 1) % max(checkpoint_every, 1) == 0
-        if save_now:
-            _save("latest")
-
-        if monitor == "train" or val_loss is None:
-            monitored = train_loss
-        else:
-            monitored = val_loss
-        improved = monitored < best_val
-        if improved:
-            best_val = monitored
-            wait = 0
+        # Best/early-stop/plateau decisions per fetched train loss (one
+        # decision per window under monitor="val": the val pass only
+        # exists on sync epochs, so patience then counts windows).
+        monitored_seq = (
+            train_seq if (monitor == "train" or val_loss is None)
+            else [val_loss]
+        )
+        improved_in_window = False
+        for monitored in monitored_seq:
+            improved = monitored < best_val
+            if improved:
+                best_val = monitored
+                wait = 0
+                improved_in_window = True
+            else:
+                wait += 1
+                # Keras EarlyStopping semantics: stop once `wait`
+                # REACHES patience (speech_lstm_ctc_words.py:167-169
+                # uses patience=20 with Keras 2.1.4, whose callback
+                # breaks on wait >= patience).
+                if wait >= cfg.patience:
+                    stop = True
+            # The plateau controller follows the MONITORED loss: val by
+            # default (keras ReduceLROnPlateau semantics,
+            # cnn_lstm.py:439), train loss under monitor="train" —
+            # memorization corpora have no meaningful val signal, and
+            # the large-batch escape LR needs annealing once train loss
+            # hits its oscillation floor (measured: skeletal at 3e-3
+            # bounces in 9-31 for 1900 epochs).
+            if plateau is not None and monitored == monitored:
+                lr_scale = plateau.update(monitored)
+        if improved_in_window:
             if checkpoint_every > 1 or keep_best_state:
-                # Retain a device COPY of the best-epoch state (flushed
-                # on the checkpoint cadence and/or returned to the
-                # caller). A copy is required — the jitted step DONATES
-                # the input state's buffers, so a plain reference would
-                # hold deleted arrays by the next step (donation is a
-                # no-op on CPU, which is why only real-TPU runs see it).
+                # Retain a device COPY of the best state — at
+                # sync_every=1 exactly the improving epoch's state, at
+                # K>1 the window-end state. A copy is required — the
+                # jitted step DONATES the input state's buffers, so a
+                # plain reference would hold deleted arrays by the next
+                # step (donation is a no-op on CPU, which is why only
+                # real-TPU runs see it).
                 pending_best = jax.tree.map(jnp.copy, state)
             if checkpoint_every <= 1:
                 _save("best")
@@ -244,21 +300,9 @@ def fit(
             _save("best", pending_best)
             if not keep_best_state:
                 pending_best = None
-        if not improved:
-            wait += 1
-            # Keras EarlyStopping semantics: stop once `wait` REACHES
-            # patience (speech_lstm_ctc_words.py:167-169 uses patience=20
-            # with Keras 2.1.4, whose callback breaks on wait >= patience).
-            if wait >= cfg.patience:
-                break
-        # The plateau controller follows the MONITORED loss: val by
-        # default (keras ReduceLROnPlateau semantics, cnn_lstm.py:439),
-        # train loss under monitor="train" — memorization corpora have
-        # no meaningful val signal, and the large-batch escape LR needs
-        # annealing once train loss hits its oscillation floor
-        # (measured: skeletal at 3e-3 bounces in 9-31 for 1900 epochs).
-        if plateau is not None and monitored == monitored:
-            lr_scale = plateau.update(monitored)
+        win_losses, win_gnorms = [], []
+        if stop:
+            break
 
     # Final flush: the run must always end with the latest state and the
     # true best state on disk, whatever the checkpoint cadence.

@@ -113,6 +113,36 @@ def test_plateau_follows_train_monitor(speech_data):
     assert scales == sorted(scales, reverse=True), scales
 
 
+def test_sync_every_identical_trajectory(speech_data):
+    """fit(sync_every=K) batches K epochs per host sync (one stacked
+    fetch, val only on sync epochs, one history record per window) but
+    must NOT change the training math: the rng folds on host_step and
+    no decision feeds back into the step, so the parameter trajectory
+    is bit-identical to sync_every=1."""
+    import jax
+
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+
+    res1 = fit(build_model(cfg), ds, workdir=None, epochs=8,
+               monitor="train")
+    res4 = fit(build_model(cfg), ds, workdir=None, epochs=8,
+               monitor="train", sync_every=4)
+    for a, b in zip(jax.tree.leaves(res1.state.params),
+                    jax.tree.leaves(res4.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert len(res1.history) == 8
+    assert len(res4.history) == 2  # one record per 4-epoch window
+    assert all(r["epochs_in_record"] == 4 for r in res4.history)
+    assert res4.history[-1]["epoch"] == 7
+    # Best tracking saw every per-epoch train loss, not just window
+    # tails.
+    assert res4.best_val_loss == res1.best_val_loss
+    assert res4.epochs_run == 8
+
+
 def test_checkpoint_state_roundtrip_exact(tmp_path):
     cfg = _speech_cfg()
     model = build_model(cfg)
