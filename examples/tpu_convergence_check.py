@@ -54,6 +54,18 @@ HIDDEN_SCALE = float(os.environ.get("MGR_TPU_CONV_HIDDEN_SCALE", "1"))
 # (round-3 notes). 10 cuts the traffic 10x at a 10-epoch best-state
 # granularity — irrelevant here, the eval gate measures the slots.
 SYNC = int(os.environ.get("MGR_TPU_CONV_SYNC", "10"))
+# MGR_TPU_CONV_GUARD=1: skip non-finite updates
+# (OptimizerConfig.skip_nonfinite) in EVERY stage. Off by default
+# because the optax wrapper changes the opt-state checkpoint layout —
+# a guarded run can only resume guarded checkpoints (and vice versa).
+GUARD = int(os.environ.get("MGR_TPU_CONV_GUARD", "0") or 0)
+
+
+def _opt(lr: float) -> "cfglib.OptimizerConfig":
+    return cfglib.OptimizerConfig(
+        learning_rate=lr, decay=1e-5, maxnorm=3.0,
+        skip_nonfinite=100 if GUARD else 0,
+    )
 
 
 def _scaled(hidden: int) -> int:
@@ -71,9 +83,7 @@ def _parity_overrides(cfg, hidden):
             dropout=(0.02, 0.02), output_dropout=0.02,
             per_gate_dropout=True,
         ),
-        optimizer=cfglib.OptimizerConfig(
-            learning_rate=LR, decay=1e-5, maxnorm=3.0,
-        ),
+        optimizer=_opt(LR),
         patience=10_000,
     )
     assert cfg.ctc.padded_length_parity and cfg.ctc.trim_frames == 2
@@ -202,11 +212,7 @@ def _run_fusion(root):
             epochs=pretrain_epochs, checkpoint_every=100,
             monitor="train", sync_every=SYNC)
         if pretrain_lr2 > 0 and pretrain_epochs2 > 0:
-            cfg2 = cfg.replace(
-                optimizer=cfglib.OptimizerConfig(
-                    learning_rate=pretrain_lr2, decay=1e-5, maxnorm=3.0,
-                ),
-            )
+            cfg2 = cfg.replace(optimizer=_opt(pretrain_lr2))
             fit(build_model(cfg2), ds, workdir=workdir, resume=True,
                 epochs=pretrain_epochs + pretrain_epochs2,
                 checkpoint_every=100, monitor="train", sync_every=SYNC)
@@ -233,9 +239,7 @@ def _run_fusion(root):
         # the parity-critical maxnorm/trim/padded-length semantics stay.
         fusion_dropout=0.02,
         fusion_output_dropout=0.02,
-        optimizer=cfglib.OptimizerConfig(
-            learning_rate=LR, decay=1e-5, maxnorm=3.0,
-        ),
+        optimizer=_opt(LR),
         patience=10_000,
     )
     resume_fusion = (
@@ -270,11 +274,7 @@ def _run_fusion(root):
     if lr2 > 0 and epochs2 > 0:
         from mgr_tpu.models import build_model as _bm
 
-        lf_cfg2 = lf_cfg.replace(
-            optimizer=cfglib.OptimizerConfig(
-                learning_rate=lr2, decay=1e-5, maxnorm=3.0,
-            ),
-        )
+        lf_cfg2 = lf_cfg.replace(optimizer=_opt(lr2))
         model = _bm(lf_cfg2,
                     source_configs={"speech": sp_cfg, "skeletal": sk_cfg})
         res = fit(model, fusion_ds, workdir=workdir, resume=True,

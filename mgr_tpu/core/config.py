@@ -66,6 +66,15 @@ class OptimizerConfig:
     # speech geometry). Gradients average across microbatches; one
     # optimizer update per step.
     accum_steps: int = 1
+    # Skip parameter updates whose gradients are non-finite
+    # (optax.apply_if_finite; the value bounds consecutive skips). bf16
+    # training at aggressive large-batch LRs can hit a transient
+    # overflow that makes ONE loss NaN — without the guard that single
+    # step poisons the Adam state and the run never recovers (measured
+    # round 3: skeletal pretrain NaN'd at epoch ~3165 and stayed NaN).
+    # 0 disables — the default, because the wrapper changes the
+    # opt-state tree layout and thus checkpoint compatibility.
+    skip_nonfinite: int = 0
 
 
 @dataclass(frozen=True)

@@ -34,11 +34,17 @@ def keras_adam(cfg: OptimizerConfig) -> optax.GradientTransformation:
     def neg_decayed_lr(step):
         return -cfg.learning_rate / (1.0 + cfg.decay * step)
 
-    return optax.chain(
+    tx = optax.chain(
         optax.clip(cfg.clipvalue),  # element-wise |g| <= clipvalue
         optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
         optax.scale_by_schedule(neg_decayed_lr),
     )
+    if cfg.skip_nonfinite:
+        # Drop (zero) any update containing non-finite values and leave
+        # the Adam moments untouched, so one transient bf16 overflow
+        # cannot poison the run (see OptimizerConfig.skip_nonfinite).
+        tx = optax.apply_if_finite(tx, cfg.skip_nonfinite)
+    return tx
 
 
 def freeze_mask_grads(grads: Params, trainable: Params) -> Params:

@@ -54,6 +54,39 @@ def test_loss_decreases_overfitting_one_batch():
     assert np.isfinite(losses).all()
 
 
+def test_skip_nonfinite_guards_params():
+    """OptimizerConfig.skip_nonfinite: a batch that produces a NaN loss
+    (inputs poisoned with NaN) must leave params AND Adam moments
+    untouched, and training must continue normally on the next finite
+    batch (round-3 failure mode: one transient bf16 overflow poisoned
+    the Adam state and the run never recovered)."""
+    cfg = _tiny_speech(
+        optimizer=cfglib.OptimizerConfig(learning_rate=5e-3,
+                                         skip_nonfinite=100)
+    )
+    model = build_model(cfg)
+    state = create_train_state(model, jax.random.key(0))
+    step = make_train_step(model)
+    good = _batch(cfg, jax.random.key(1))
+    bad = dict(good, inputs=good["inputs"].at[0, 0, 0].set(jnp.nan))
+
+    state, m = step(state, good, jax.random.key(0), 1.0)
+    # Host copies: the jitted step donates the state buffers.
+    before = [np.array(x) for x in jax.tree.leaves(state.params)]
+    state, m = step(state, bad, jax.random.key(1), 1.0)
+    assert not np.isfinite(float(m["loss"]))
+    for a, b in zip(before, jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The guarded step still advances and the next finite batch trains.
+    state, m = step(state, good, jax.random.key(2), 1.0)
+    assert np.isfinite(float(m["loss"]))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, jax.tree.leaves(state.params))
+    )
+    assert changed
+
+
 def test_eval_step_deterministic():
     cfg = _tiny_speech()
     model = build_model(cfg)
