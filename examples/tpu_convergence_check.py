@@ -58,7 +58,22 @@ SYNC = int(os.environ.get("MGR_TPU_CONV_SYNC", "10"))
 # (OptimizerConfig.skip_nonfinite) in EVERY stage. Off by default
 # because the optax wrapper changes the opt-state checkpoint layout —
 # a guarded run can only resume guarded checkpoints (and vice versa).
+# Measured need (round 3, /tmp/conv_wd6/skeletal_metrics.jsonl): the
+# unguarded skeletal pretrain at 5e-4 went NaN at ~ep 3200 and the NaN
+# poisoned params permanently — one bad batch ends an hours-long run.
 GUARD = int(os.environ.get("MGR_TPU_CONV_GUARD", "0") or 0)
+# MGR_TPU_CONV_PLATEAU="factor:patience:min_lr" (or "1" for the default
+# 0.5:50:3e-4): ReduceLROnPlateau on the monitored TRAIN loss in every
+# stage. The dense-corpus skeletal pretrain OSCILLATES at the fixed
+# big-batch escape LR 3e-3 (train loss 9-31 for 1900+ epochs) but
+# converges when annealed — the self-annealing schedule subsumes the
+# hand-tuned _LR2/_EPOCHS2 legs.
+_PLATEAU = os.environ.get("MGR_TPU_CONV_PLATEAU", "")
+if _PLATEAU in ("1", "true"):
+    _PLATEAU = "0.5:50:3e-4"
+PLATEAU = (
+    tuple(float(x) for x in _PLATEAU.split(":")) if _PLATEAU else None
+)
 
 
 def _opt(lr: float) -> "cfglib.OptimizerConfig":
@@ -70,6 +85,15 @@ def _opt(lr: float) -> "cfglib.OptimizerConfig":
 
 def _scaled(hidden: int) -> int:
     return max(4, int(hidden * HIDDEN_SCALE))
+
+
+def _plateau_fields() -> dict:
+    factor, patience, min_lr = PLATEAU
+    return {
+        "reduce_lr_factor": factor,
+        "reduce_lr_patience": int(patience),
+        "reduce_lr_min": min_lr,
+    }
 
 
 def _parity_overrides(cfg, hidden):
@@ -85,6 +109,7 @@ def _parity_overrides(cfg, hidden):
         ),
         optimizer=_opt(LR),
         patience=10_000,
+        **(_plateau_fields() if PLATEAU else {}),
     )
     assert cfg.ctc.padded_length_parity and cfg.ctc.trim_frames == 2
     assert cfg.compute_dtype == "bfloat16", "must run the production dtype"
@@ -241,6 +266,7 @@ def _run_fusion(root):
         fusion_output_dropout=0.02,
         optimizer=_opt(LR),
         patience=10_000,
+        **(_plateau_fields() if PLATEAU else {}),
     )
     resume_fusion = (
         os.environ.get("MGR_TPU_CONV_RESUME") == "1"

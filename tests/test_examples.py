@@ -72,6 +72,10 @@ def test_convergence_check_late_fusion_smoke():
         "MGR_TPU_CONV_FUSION_LABELS": "3",
         "MGR_TPU_CONV_LR2": "1e-3",
         "MGR_TPU_CONV_EPOCHS2": "1",
+        # The measured dense-corpus recipe: non-finite guard +
+        # self-annealing plateau schedule in every stage.
+        "MGR_TPU_CONV_GUARD": "1",
+        "MGR_TPU_CONV_PLATEAU": "0.5:2:1e-4",
     })
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
