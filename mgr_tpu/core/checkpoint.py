@@ -18,6 +18,7 @@ slot — the first-class failure-recovery path the reference lacked
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any
 
@@ -73,6 +74,39 @@ def load_checkpoint(
     with open(_path(workdir, stamp, slot), "rb") as f:
         data = f.read()
     return serialization.from_bytes(template, data)
+
+
+def load_checkpoint_flexible(
+    workdir: str, stamp: str, template: Any, *, slot: str = "latest"
+) -> Any:
+    """Like :func:`load_checkpoint`, but tolerant of an optimizer-state
+    layout change between the run that saved and the run that resumes
+    (e.g. toggling ``OptimizerConfig.skip_nonfinite`` wraps the optax
+    chain in ``apply_if_finite``, changing the checkpoint tree).
+
+    Falls back to restoring ``params`` and ``step`` only, keeping the
+    template's freshly initialized optimizer state — Adam moments are
+    lost, which costs a few warmup steps but preserves the trained
+    weights and the resume epoch derivation."""
+    try:
+        return load_checkpoint(workdir, stamp, template, slot=slot)
+    except (ValueError, KeyError) as exc:
+        with open(_path(workdir, stamp, slot), "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        if not (hasattr(template, "params") and "params" in raw):
+            raise
+        params = serialization.from_state_dict(
+            template.params, raw["params"]
+        )
+        step = jax.numpy.asarray(
+            int(raw.get("step", 0)), jax.numpy.int32
+        )
+        logging.warning(
+            "checkpoint %s/%s: optimizer state layout mismatch (%s); "
+            "restored params+step only, optimizer moments reset",
+            stamp, slot, exc,
+        )
+        return template._replace(step=step, params=params)
 
 
 def has_checkpoint(workdir: str, stamp: str, slot: str = "latest") -> bool:

@@ -105,7 +105,10 @@ def fit(
 
     state = create_train_state(model, prng.root_key(seed))
     if resume and workdir and ckpt_lib.has_checkpoint(workdir, stamp):
-        state = ckpt_lib.load_checkpoint(workdir, stamp, state)
+        # Flexible restore: survives an optimizer-wrapper change between
+        # save and resume (e.g. toggling skip_nonfinite) by falling back
+        # to params+step with fresh optimizer moments.
+        state = ckpt_lib.load_checkpoint_flexible(workdir, stamp, state)
     if workdir:
         ckpt_lib.save_config(workdir, stamp, cfg)
     if mesh is not None:

@@ -268,3 +268,32 @@ def test_keep_best_state_default_off(speech_data, tmp_path):
     ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
     res = fit(build_model(cfg), ds, workdir=None, epochs=2)
     assert res.best_state is None
+
+
+def test_resume_across_optimizer_wrapper_change(speech_data, tmp_path):
+    """fit(resume=True) survives toggling skip_nonfinite between save
+    and resume: apply_if_finite changes the opt-state checkpoint layout,
+    so the flexible restore falls back to params+step (fresh moments)
+    instead of crashing (round-3 wd6->wd7 migration scenario)."""
+    import jax
+
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    res = fit(build_model(cfg), ds, workdir=str(tmp_path), epochs=2)
+    saved_leaves = jax.tree.leaves(res.state.params)
+
+    guarded = _speech_cfg(
+        optimizer=cfglib.OptimizerConfig(
+            learning_rate=3e-3, skip_nonfinite=10
+        )
+    )
+    res2 = fit(build_model(guarded), ds, workdir=str(tmp_path),
+               resume=True, epochs=3)
+    # Continued from the saved step (1 more epoch), params carried over.
+    assert res2.epochs_run == 1
+    # And the reverse direction: guarded checkpoint, unguarded resume.
+    res3 = fit(build_model(cfg), ds, workdir=str(tmp_path),
+               resume=True, epochs=4)
+    assert res3.epochs_run == 1
+    assert len(saved_leaves) == len(jax.tree.leaves(res3.state.params))
