@@ -73,6 +73,26 @@ LR = float(os.environ.get("MGR_TPU_CB_LR", "3e-3"))
 # to cut host round-trips (epoch_s then amortizes each window's wall
 # over its epochs_in_record).
 SYNC_EVERY = int(os.environ.get("MGR_TPU_CB_SYNC_EVERY", "1"))
+# MGR_TPU_CB_TARGET="speech:0.5,skeletal:0.5,late_fusion:1.0" (or one
+# float for every stage): measured mode stops each stage as soon as its
+# monitored train loss drops below the target and reports wall-clock to
+# target — the honest unit of comparison against the reference. A
+# 500-EPOCH ceiling is not step parity: the reference's epoch was ~200
+# batch-2 steps (400 files), so its ceiling is ~100k updates, while 500
+# big-batch epochs are 1.5k-6k updates; fixed-epoch comparisons starve
+# the dense corpus (measured round 3: 0.0 accuracy at the ceiling).
+_TARGET = os.environ.get("MGR_TPU_CB_TARGET", "")
+
+
+def _target_for(stage: str):
+    if not _TARGET:
+        return None
+    if ":" not in _TARGET:
+        return float(_TARGET)
+    table = dict(kv.split(":") for kv in _TARGET.split(","))
+    return float(table[stage]) if stage in table else None
+
+
 REF_EPOCH_CEILING = 500
 REF_TOTAL_HOURS = 100.0
 
@@ -127,12 +147,14 @@ def _bench_stage(cfg, data, workdir, *, resume=False):
     # Measured mode monitors TRAIN loss: these are memorization corpora
     # (val files are unseen random sequences), so best-val selection
     # would return the least-trained state.
+    target = _target_for(cfg.name) if MEASURED else None
     result = fit(
         model, data, workdir=workdir, epochs=EPOCHS, resume=resume,
         checkpoint_every=100,
         monitor="train" if MEASURED else "val",
         keep_best_state=MEASURED,
         sync_every=SYNC_EVERY,
+        stop_below=target,
     )
     wall = time.time() - t0
     steady = result.history[2:] or result.history
@@ -156,6 +178,9 @@ def _bench_stage(cfg, data, workdir, *, resume=False):
         out["train_accuracy"] = round(acc["accuracy"], 4)
         out["train_wer"] = round(acc["wer"], 4)
         out["best_train_loss"] = round(result.best_val_loss, 3)
+        if target is not None:
+            out["target_loss"] = target
+            out["reached_target"] = bool(result.best_val_loss < target)
         # The graft must see the best-train state, not wherever the
         # 500th epoch happened to land (late-run divergence is real at
         # large-batch LR — measured in round 2).

@@ -62,6 +62,7 @@ def fit(
     monitor: str = "val",
     keep_best_state: bool = False,
     sync_every: int = 1,
+    stop_below: Optional[float] = None,
 ) -> FitResult:
     """Train one pipeline.
 
@@ -86,6 +87,11 @@ def fit(
     ``keep_best_state`` — retain a device copy of the best-epoch state
     and return it as ``FitResult.best_state`` (robust to late-training
     divergence of the final state; costs a second tree in HBM).
+
+    ``stop_below`` — optional time-to-target stop: end training as soon
+    as the monitored loss drops below this value (used by the measured
+    curriculum bench to report wall-clock-to-target instead of a fixed
+    epoch count).
 
     ``sync_every`` — host-sync cadence in epochs. At K>1 the loop
     dispatches K epochs of train steps back-to-back, runs the val pass
@@ -270,6 +276,11 @@ def fit(
                 best_val = monitored
                 wait = 0
                 improved_in_window = True
+                # Time-to-target stop: end the run once the monitored
+                # loss reaches the caller's threshold (still finishes
+                # the window's best-state/checkpoint bookkeeping below).
+                if stop_below is not None and monitored < stop_below:
+                    stop = True
             else:
                 wait += 1
                 # Keras EarlyStopping semantics: stop once `wait`
