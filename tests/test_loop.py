@@ -297,3 +297,17 @@ def test_resume_across_optimizer_wrapper_change(speech_data, tmp_path):
                resume=True, epochs=4)
     assert res3.epochs_run == 1
     assert len(saved_leaves) == len(jax.tree.leaves(res3.state.params))
+
+
+def test_stop_below_target(speech_data):
+    """fit(stop_below=...) ends the run once the monitored loss reaches
+    the target (time-to-target measurement for the curriculum bench)."""
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    res = fit(build_model(cfg), ds, workdir=None, epochs=50,
+              monitor="train", stop_below=1e9)
+    assert res.epochs_run == 1  # first finite loss beats 1e9
+    res2 = fit(build_model(cfg), ds, workdir=None, epochs=3,
+               monitor="train", stop_below=0.0)
+    assert res2.epochs_run == 3  # target never reached -> full budget
