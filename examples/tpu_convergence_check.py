@@ -378,8 +378,10 @@ def _run_rgb(root):
                 os.environ.get("MGR_TPU_CONV_RGB_LR", "1e-3")
             ),
             maxnorm=3.0,
+            skip_nonfinite=100 if GUARD else 0,
         ),
         patience=10_000,
+        **(_plateau_fields() if PLATEAU else {}),
     )
     assert cfg.compute_dtype == "bfloat16"
     ds = datasets.build_rgb_dataset(data_dir, label_file, cfg)
