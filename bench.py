@@ -140,6 +140,32 @@ def _bench_decode(cfg, model, params, B, threshold):
     return rates
 
 
+def _bench_latency(cfg, model, params, threshold, calls=20):
+    """Single-utterance serving latency: B=1 fused predict+best-path,
+    per-call wall-clock in ms (scalar fetch as the sync)."""
+    from mgr_tpu.train.step import make_decode_step
+
+    step = make_decode_step(model, threshold=threshold, trim_frames=2)
+    batch = _make_batch(cfg, 1)
+    inputs = (
+        (batch["inputs"], batch["inputs2"])
+        if "inputs2" in batch
+        else batch["inputs"]
+    )
+    lengths = jnp.full((1,), cfg.maxlen, jnp.int32)
+
+    best, _ = step(params, inputs, lengths)
+    int(best[0, 0])  # compile + hard sync
+
+    times = []
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        best, _ = step(params, inputs, lengths)
+        int(best[0, 0])  # hard sync
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return sorted(times)
+
+
 def main() -> None:
     from mgr_tpu.core import config as cfglib
     from mgr_tpu.core import prng
@@ -153,17 +179,43 @@ def main() -> None:
                     help="override the pipeline's HBM-cap default")
     ap.add_argument("--no-cnn-remat", action="store_true",
                     help="rgb A/B: disable the conv-frontend remat")
+    ap.add_argument("--latency", action="store_true",
+                    help="serving mode: B=1 fused-decode latency in ms "
+                         "(regenerates the BASELINE.md latency row)")
+    ap.add_argument("--maxlen", type=int, default=0,
+                    help="override sequence length (smoke testing)")
     args = ap.parse_args()
     spec = PIPELINES[args.pipeline]
     B = args.batch or spec["batch"]
 
     cfg = cfglib.get_preset(args.pipeline).replace(batch_size=B)
+    if args.maxlen:
+        cfg = cfg.replace(maxlen=args.maxlen)
     if args.no_cnn_remat and cfg.cnn is not None:
         import dataclasses
 
         cfg = cfg.replace(cnn=dataclasses.replace(cfg.cnn, remat=False))
     model = build_model(cfg)
     n_chips = max(len(jax.devices()), 1)
+
+    if args.latency:
+        params = create_train_state(model, prng.root_key(cfg.seed)).params
+        times = _bench_latency(cfg, model, params, spec["threshold"])
+        med = statistics.median(times)
+        # Reference implied decode latency: ~2 seq/s on the GTX 1060
+        # (BASELINE.md) -> ~500 ms/utterance.
+        print(json.dumps({
+            "metric": "decode_latency_ms",
+            "value": round(med, 2),
+            "unit": "ms",
+            "vs_baseline": round(500.0 / med, 2),
+            "spread": {"min": round(times[0], 2),
+                       "max": round(times[-1], 2),
+                       "calls": len(times)},
+            "pipeline": args.pipeline,
+            "batch": 1,
+        }))
+        return
 
     train_rates = sorted(r / n_chips for r in _bench_train(cfg, model, B))
     params = create_train_state(model, prng.root_key(cfg.seed)).params
