@@ -62,7 +62,7 @@ SYNC = int(os.environ.get("MGR_TPU_CONV_SYNC", "10"))
 # unguarded skeletal pretrain at 5e-4 went NaN at ~ep 3200 and the NaN
 # poisoned params permanently — one bad batch ends an hours-long run.
 GUARD = int(os.environ.get("MGR_TPU_CONV_GUARD", "0") or 0)
-# MGR_TPU_CONV_PLATEAU="factor:patience:min_lr" (or "1" for the default
+# MGR_TPU_CONV_PLATEAU="factor:patience:min_lr[:min_delta]" (or "1" for the default
 # 0.5:50:3e-4): ReduceLROnPlateau on the monitored TRAIN loss in every
 # stage. The dense-corpus skeletal pretrain OSCILLATES at the fixed
 # big-batch escape LR 3e-3 (train loss 9-31 for 1900+ epochs) but
@@ -88,12 +88,19 @@ def _scaled(hidden: int) -> int:
 
 
 def _plateau_fields() -> dict:
-    factor, patience, min_lr = PLATEAU
-    return {
+    factor, patience, min_lr = PLATEAU[:3]
+    fields = {
         "reduce_lr_factor": factor,
         "reduce_lr_patience": int(patience),
         "reduce_lr_min": min_lr,
     }
+    # Optional 4th field: min_delta — improvements smaller than this do
+    # not reset patience (see reduce_lr_min_delta; measured round-3
+    # fusion grind improves ~1e-3/window, above the keras default 1e-4,
+    # so the anneal never fires without raising it).
+    if len(PLATEAU) > 3:
+        fields["reduce_lr_min_delta"] = PLATEAU[3]
+    return fields
 
 
 def _parity_overrides(cfg, hidden):

@@ -167,6 +167,12 @@ class PipelineConfig:
     reduce_lr_factor: Optional[float] = None  # RGB: 0.5/patience 7/min 5e-5
     reduce_lr_patience: int = 7
     reduce_lr_min: float = 5e-5
+    # Improvement below min_delta does NOT reset patience (keras-parity
+    # default 1e-4). Raise it when a run can descend continuously but
+    # too slowly to matter — measured failure mode: a fusion grind
+    # improving ~1e-3/window resets patience forever and the anneal
+    # never fires (CLAUDE.md round-3 findings).
+    reduce_lr_min_delta: float = 1e-4
     seed: int = 47  # reference weight-init seed (speech_lstm_ctc_words.py:44)
     split_seed: int = 10  # reference split seed (data_generator.py:72)
     val_split: float = 0.2

@@ -164,6 +164,7 @@ def fit(
         plateau = opt_lib.ReduceLROnPlateau(
             cfg.reduce_lr_factor, cfg.reduce_lr_patience,
             cfg.reduce_lr_min, cfg.optimizer.learning_rate,
+            min_delta=cfg.reduce_lr_min_delta,
         )
 
     data_key = prng.fold_name(prng.root_key(seed), "dropout")

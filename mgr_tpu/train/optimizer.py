@@ -93,16 +93,20 @@ class ReduceLROnPlateau:
     jitted computation never recompiles on LR change."""
 
     def __init__(self, factor: float, patience: int, min_lr: float,
-                 base_lr: float):
+                 base_lr: float, min_delta: float = 1e-4):
         self.factor = factor
         self.patience = patience
         self.min_scale = min_lr / base_lr
+        self.min_delta = min_delta
         self.best = float("inf")
         self.wait = 0
         self.scale = 1.0
 
     def update(self, val_loss: float) -> float:
-        if val_loss < self.best - 1e-4:
+        # Improvements below min_delta do not reset patience — a run
+        # that descends continuously but negligibly still anneals
+        # (keras min_delta semantics; default 1e-4 matches keras).
+        if val_loss < self.best - self.min_delta:
             self.best = val_loss
             self.wait = 0
         else:

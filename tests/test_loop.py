@@ -113,6 +113,33 @@ def test_plateau_follows_train_monitor(speech_data):
     assert scales == sorted(scales, reverse=True), scales
 
 
+def test_plateau_min_delta_gates_patience_reset():
+    """Sub-min_delta improvements must not reset patience. Measured
+    round-3 failure mode: the fusion grind improves ~1e-3 per sync
+    window — above the keras-parity default min_delta 1e-4 — so the
+    anneal never fires while the loss descends too slowly to matter.
+    A raised min_delta lets the controller treat that as a plateau."""
+    from mgr_tpu.train.optimizer import ReduceLROnPlateau
+
+    # keras default: 1e-3/window improvements keep resetting patience.
+    c = ReduceLROnPlateau(0.5, 3, 1e-6, 1e-3)
+    loss = 10.0
+    for _ in range(20):
+        loss -= 1e-3
+        assert c.update(loss) == 1.0
+
+    # min_delta above the improvement rate: anneals after `patience`.
+    c = ReduceLROnPlateau(0.5, 3, 1e-6, 1e-3, min_delta=1e-2)
+    loss = 10.0
+    scales = []
+    for _ in range(20):
+        loss -= 1e-3
+        scales.append(c.update(loss))
+    # First update seeds best; the anneal fires `patience` windows in.
+    assert scales[:4] == [1.0, 1.0, 1.0, 0.5], scales
+    assert scales[-1] < 0.5, scales
+
+
 def test_sync_every_identical_trajectory(speech_data):
     """fit(sync_every=K) batches K epochs per host sync (one stacked
     fetch, val only on sync epochs, one history record per window) but
