@@ -167,6 +167,13 @@ def _bench_latency(cfg, model, params, threshold, calls=20):
 
 
 def main() -> None:
+    from mgr_tpu.core.platform import apply_env_platform
+
+    # JAX_PLATFORMS must be authoritative even under site hooks that
+    # re-pin the platform (mgr_tpu/core/platform.py) — a CPU smoke of
+    # this script must never land on the relay-attached chip.
+    apply_env_platform()
+
     from mgr_tpu.core import config as cfglib
     from mgr_tpu.core import prng
     from mgr_tpu.models import build_model

@@ -14,6 +14,13 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mgr_tpu.core.platform import apply_env_platform
+
+# Honor JAX_PLATFORMS even under site hooks that re-pin the platform
+# (see mgr_tpu/core/platform.py): JAX_PLATFORMS=cpu must NOT silently
+# land this process on the relay-attached TPU chip.
+apply_env_platform()
+
 from mgr_tpu.core import config as cfglib
 from mgr_tpu.data import datasets, synthetic, vocab
 from mgr_tpu.decode import Decoder, mlf, read_mlf, score_sequences

@@ -29,6 +29,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mgr_tpu.core.platform import apply_env_platform
+
+# Honor JAX_PLATFORMS even under site hooks that re-pin the platform
+# (see mgr_tpu/core/platform.py): JAX_PLATFORMS=cpu must NOT silently
+# land this process on the relay-attached TPU chip.
+apply_env_platform()
+
 from mgr_tpu.core import config as cfglib
 from mgr_tpu.data import datasets, synthetic
 from mgr_tpu.decode.evaluate import evaluate_accuracy
@@ -54,6 +61,8 @@ HIDDEN_SCALE = float(os.environ.get("MGR_TPU_CONV_HIDDEN_SCALE", "1"))
 # (round-3 notes). 10 cuts the traffic 10x at a 10-epoch best-state
 # granularity — irrelevant here, the eval gate measures the slots.
 SYNC = int(os.environ.get("MGR_TPU_CONV_SYNC", "10"))
+# Persistent corpus root: generators skip regeneration on repeat runs.
+REUSE = bool(os.environ.get("MGR_TPU_CONV_ROOT", ""))
 # MGR_TPU_CONV_GUARD=1: skip non-finite updates
 # (OptimizerConfig.skip_nonfinite) in EVERY stage. Off by default
 # because the optax wrapper changes the opt-state checkpoint layout —
@@ -182,7 +191,7 @@ def _run_fusion(root):
     )
     sk_csv, sk_labels, labels = synthetic.make_skeletal_dataset(
         root, n_files=N_FILES, frames_per_label=fusion_fpl,
-        max_labels=fusion_max_labels, seed=4,
+        max_labels=fusion_max_labels, seed=4, reuse=REUSE,
     )
     # Audio at 5x the skeletal frame rate: after the pipeline's x5
     # downsample both streams advance through the SAME gesture at the
@@ -194,6 +203,7 @@ def _run_fusion(root):
     audio_dir, _, _ = synthetic.make_audio_dataset(
         root, n_files=N_FILES, n_classes=22,
         frames_per_label=5 * fusion_fpl, seed=0, labels=labels,
+        reuse=REUSE,
     )
 
     # Full budget for the encoders too: the fusion head is trained on
@@ -350,10 +360,11 @@ def _run_early_fusion(root):
     the 59-feat concat (early_multimodal.py:321-424)."""
     sk_csv, _, labels = synthetic.make_skeletal_dataset(
         root, n_files=N_FILES, frames_per_label=24, max_labels=4, seed=4,
+        reuse=REUSE,
     )
     # Audio rides at x5 the skeletal frame rate pre-downsample.
     audio_csv = synthetic.make_monolithic_audio_dataset(
-        root, labels, frames_per_label=120, seed=2,
+        root, labels, frames_per_label=120, seed=2, reuse=REUSE,
     )
     cfg = _parity_overrides(cfglib.get_preset("early_fusion"), 500)
     cfg = cfg.replace(second_stream_noise=0.05)
@@ -370,6 +381,7 @@ def _run_rgb(root):
     files = int(os.environ.get("MGR_TPU_CONV_RGB_FILES", "48"))
     data_dir, label_file, _ = synthetic.make_rgb_dataset(
         root, n_files=files, frames_per_label=16, max_labels=4, seed=3,
+        reuse=REUSE,
     )
     import dataclasses as _dc
 
@@ -396,12 +408,24 @@ def _run_rgb(root):
 
 
 def main() -> None:
+    import contextlib
+
     out = {}
-    with tempfile.TemporaryDirectory() as root:
+    # MGR_TPU_CONV_ROOT: persistent corpus root. The generators are
+    # seed-deterministic and sentinel-gated (synthetic._reuse_sentinel),
+    # so repeat invocations (LR-ladder legs, resumed campaigns) skip the
+    # multi-GB corpus regeneration entirely.
+    persist = os.environ.get("MGR_TPU_CONV_ROOT", "")
+    if persist:
+        os.makedirs(persist, exist_ok=True)
+        ctx = contextlib.nullcontext(persist)
+    else:
+        ctx = tempfile.TemporaryDirectory()
+    with ctx as root:
         if ONLY in ("", "skeletal"):
             sk_csv, sk_labels, _ = synthetic.make_skeletal_dataset(
                 root, n_files=N_FILES, frames_per_label=24, max_labels=4,
-                seed=4,
+                seed=4, reuse=REUSE,
             )
             sk_cfg = _parity_overrides(cfglib.get_preset("skeletal"), 300)
             out["skeletal"] = _run(
@@ -412,7 +436,7 @@ def main() -> None:
         if ONLY in ("", "speech"):
             audio_dir, audio_labels, _ = synthetic.make_audio_dataset(
                 os.path.join(root, "a"), n_files=N_FILES, n_classes=20,
-                frames_per_label=150, max_labels=4, seed=0,
+                frames_per_label=150, max_labels=4, seed=0, reuse=REUSE,
             )
             sp_cfg = _parity_overrides(cfglib.get_preset("speech"), 500)
             out["speech"] = _run(

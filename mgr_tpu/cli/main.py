@@ -520,6 +520,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
+    # JAX_PLATFORMS must be authoritative even under site hooks that
+    # re-pin the platform at interpreter start (mgr_tpu/core/platform.py).
+    from mgr_tpu.core.platform import apply_env_platform
+
+    apply_env_platform()
     # Multi-host bring-up BEFORE any JAX backend use; a no-op unless a
     # coordinator is configured (JAX_COORDINATOR_ADDRESS et al.), so the
     # same CLI runs on one host or a pod slice unchanged.

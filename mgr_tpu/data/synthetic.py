@@ -30,6 +30,24 @@ def _label_sequences(
     return out
 
 
+def _reuse_sentinel(out_dir: str, tag: str, params: Dict) -> Tuple[str, bool]:
+    """Sentinel for idempotent regeneration (``reuse=True``): the
+    generators are seed-deterministic, so a completed prior run with the
+    same parameters left identical bytes on disk. Returns
+    (sentinel_path, hit). Corpus generation at ChaLearn density writes
+    ~GBs of CSV text — minutes per convergence-check invocation that a
+    persistent MGR_TPU_CONV_ROOT skips entirely."""
+    import hashlib
+    import json as _json
+
+    key = hashlib.md5(
+        _json.dumps(params, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f".{tag}-{key}.complete")
+    return path, os.path.exists(path)
+
+
 def write_label_csv(path: str, labels: Dict[int, List[int]]) -> None:
     with open(path, "w") as f:
         f.write("Id,Sequence\n")
@@ -71,28 +89,41 @@ def make_audio_dataset(
     max_labels: int = 3,
     seed: int = 0,
     labels: Optional[Dict[int, List[int]]] = None,
+    reuse: bool = False,
 ) -> Tuple[str, str, Dict[int, List[int]]]:
     """Per-file ``audio_<id>.csv`` (39 feats + file_number col) and a
     ``training_oov.csv`` label file. Returns (data_dir, label_file,
     labels). Pass ``labels`` to reuse another stream's sequences (fusion
-    corpora: both modalities encode the SAME gestures per file id)."""
+    corpora: both modalities encode the SAME gestures per file id).
+    ``reuse=True`` skips regeneration when a prior identical run
+    completed in the same out_dir."""
     rng = np.random.default_rng(seed)
     data_dir = os.path.join(out_dir, "train_audio")
     os.makedirs(data_dir, exist_ok=True)
     if labels is None:
         labels = _label_sequences(rng, n_files, n_classes, max_labels)
-    header = ",".join(str(i) for i in range(39)) + ",file_number"
-    for fid, seq in labels.items():
-        x = _class_signal(rng, seq, frames_per_label, 39)
-        rows = np.concatenate(
-            [x, np.full((x.shape[0], 1), fid, np.float32)], axis=1
-        )
-        np.savetxt(
-            os.path.join(data_dir, f"audio_{fid}.csv"),
-            rows, delimiter=",", header=header, comments="", fmt="%.5f",
-        )
+    sent, hit = (None, False)
+    if reuse:
+        sent, hit = _reuse_sentinel(out_dir, "audio", dict(
+            n=n_files, c=n_classes, fpl=frames_per_label, ml=max_labels,
+            seed=seed, labels=sorted(labels.items()),
+        ))
     label_file = os.path.join(out_dir, "training_oov.csv")
-    write_label_csv(label_file, labels)
+    if not hit:
+        header = ",".join(str(i) for i in range(39)) + ",file_number"
+        for fid, seq in labels.items():
+            x = _class_signal(rng, seq, frames_per_label, 39)
+            rows = np.concatenate(
+                [x, np.full((x.shape[0], 1), fid, np.float32)], axis=1
+            )
+            np.savetxt(
+                os.path.join(data_dir, f"audio_{fid}.csv"),
+                rows, delimiter=",", header=header, comments="", fmt="%.5f",
+            )
+        write_label_csv(label_file, labels)
+        if sent:
+            with open(sent, "w") as f:
+                f.write("ok\n")
     return data_dir, label_file, labels
 
 
@@ -104,23 +135,35 @@ def make_skeletal_dataset(
     frames_per_label: int = 40,
     max_labels: int = 3,
     seed: int = 1,
+    reuse: bool = False,
 ) -> Tuple[str, str, Dict[int, List[int]]]:
     """Monolithic ``Training_set_skeletal.csv`` (20 feats + file_number)
     and a ``training.csv`` label file."""
     rng = np.random.default_rng(seed)
     labels = _label_sequences(rng, n_files, n_classes, max_labels)
-    rows = []
-    for fid, seq in labels.items():
-        x = _class_signal(rng, seq, frames_per_label, len(SKELETAL_FEATURES))
-        fcol = np.full((x.shape[0], 1), fid, np.float32)
-        rows.append(np.concatenate([x, fcol], axis=1))
-    all_rows = np.concatenate(rows, axis=0)
     csv_path = os.path.join(out_dir, "Training_set_skeletal.csv")
-    header = ",".join(SKELETAL_FEATURES) + ",file_number"
-    np.savetxt(csv_path, all_rows, delimiter=",", header=header,
-               comments="", fmt="%.5f")
     label_file = os.path.join(out_dir, "training.csv")
-    write_label_csv(label_file, labels)
+    sent, hit = (None, False)
+    if reuse:
+        sent, hit = _reuse_sentinel(out_dir, "skeletal", dict(
+            n=n_files, c=n_classes, fpl=frames_per_label, ml=max_labels,
+            seed=seed,
+        ))
+    if not hit:
+        rows = []
+        for fid, seq in labels.items():
+            x = _class_signal(rng, seq, frames_per_label,
+                              len(SKELETAL_FEATURES))
+            fcol = np.full((x.shape[0], 1), fid, np.float32)
+            rows.append(np.concatenate([x, fcol], axis=1))
+        all_rows = np.concatenate(rows, axis=0)
+        header = ",".join(SKELETAL_FEATURES) + ",file_number"
+        np.savetxt(csv_path, all_rows, delimiter=",", header=header,
+                   comments="", fmt="%.5f")
+        write_label_csv(label_file, labels)
+        if sent:
+            with open(sent, "w") as f:
+                f.write("ok\n")
     return csv_path, label_file, labels
 
 
@@ -130,10 +173,20 @@ def make_monolithic_audio_dataset(
     *,
     frames_per_label: int = 300,  # pre-downsample: x5 of the skeletal rate
     seed: int = 2,
+    reuse: bool = False,
 ) -> str:
     """Headerless labeled audio CSV for the early-fusion pipeline:
     cols 0-38 feats, col 39 file id, col 40 per-frame class label."""
     rng = np.random.default_rng(seed)
+    path = os.path.join(out_dir, "Training_set_audio_labeled.csv")
+    sent, hit = (None, False)
+    if reuse:
+        sent, hit = _reuse_sentinel(out_dir, "mono_audio", dict(
+            fpl=frames_per_label, seed=seed,
+            labels=sorted(labels.items()),
+        ))
+    if hit:
+        return path
     rows = []
     for fid, seq in labels.items():
         x = _class_signal(rng, seq, frames_per_label, 39)
@@ -143,8 +196,10 @@ def make_monolithic_audio_dataset(
         fcol = np.full((x.shape[0], 1), fid, np.float32)
         rows.append(np.concatenate([x, fcol, frame_labels], axis=1))
     all_rows = np.concatenate(rows, axis=0)
-    path = os.path.join(out_dir, "Training_set_audio_labeled.csv")
     np.savetxt(path, all_rows, delimiter=",", fmt="%.5f")
+    if sent:
+        with open(sent, "w") as f:
+            f.write("ok\n")
     return path
 
 
@@ -157,6 +212,7 @@ def make_rgb_dataset(
     max_labels: int = 2,
     img_dim: int = 60,
     seed: int = 3,
+    reuse: bool = False,
 ) -> Tuple[str, str, Dict[int, List[int]]]:
     """Per-video ``Sample#####_color.npy`` (T, D, D, 1) + labels.
 
@@ -168,6 +224,14 @@ def make_rgb_dataset(
     data_dir = os.path.join(out_dir, "training_up_body")
     os.makedirs(data_dir, exist_ok=True)
     labels = _label_sequences(rng, n_files, n_classes, max_labels)
+    sent, hit = (None, False)
+    if reuse:
+        sent, hit = _reuse_sentinel(out_dir, "rgb", dict(
+            n=n_files, c=n_classes, fpl=frames_per_label, ml=max_labels,
+            img=img_dim, seed=seed,
+        ))
+    if hit:
+        return data_dir, os.path.join(out_dir, "rgb_training.csv"), labels
     rep = img_dim // 8 + 1
     for fid, seq in labels.items():
         frames = []
@@ -185,4 +249,7 @@ def make_rgb_dataset(
         np.save(os.path.join(data_dir, f"Sample{fid:05d}_color.npy"), video)
     label_file = os.path.join(out_dir, "rgb_training.csv")
     write_label_csv(label_file, labels)
+    if sent:
+        with open(sent, "w") as f:
+            f.write("ok\n")
     return data_dir, label_file, labels

@@ -234,3 +234,38 @@ def test_audio_dataset_cache_roundtrip(audio_fixture, tmp_path):
     datasets.build_audio_dataset(data_dir, label_file, cfg2,
                                  cache_dir=cache)
     assert len([f for f in _os.listdir(cache) if f.endswith(".npz")]) == 2
+
+
+def test_synthetic_reuse_skips_regeneration(tmp_path):
+    """reuse=True: a completed identical run is not rewritten (the
+    convergence check's MGR_TPU_CONV_ROOT persistence); changed knobs
+    regenerate."""
+    import os as _os
+    import time as _time
+
+    from mgr_tpu.data import synthetic
+
+    root = str(tmp_path)
+    d1, lf1, labs1 = synthetic.make_audio_dataset(
+        root, n_files=3, frames_per_label=6, seed=0, reuse=True)
+    path = _os.path.join(d1, "audio_1.csv")
+    m0 = _os.path.getmtime(path)
+    _time.sleep(0.05)
+    d2, lf2, labs2 = synthetic.make_audio_dataset(
+        root, n_files=3, frames_per_label=6, seed=0, reuse=True)
+    assert (d1, lf1) == (d2, lf2) and labs1 == labs2
+    assert _os.path.getmtime(path) == m0  # not rewritten
+    # A different knob regenerates (new sentinel).
+    synthetic.make_audio_dataset(
+        root, n_files=3, frames_per_label=7, seed=0, reuse=True)
+    assert _os.path.getmtime(path) > m0
+    # reuse=False (default) always rewrites.
+    skc = str(tmp_path / "sk")
+    _os.makedirs(skc)
+    c1, l1, sl1 = synthetic.make_skeletal_dataset(
+        skc, n_files=3, frames_per_label=6, seed=1, reuse=True)
+    ms = _os.path.getmtime(c1)
+    _time.sleep(0.05)
+    c2, _, sl2 = synthetic.make_skeletal_dataset(
+        skc, n_files=3, frames_per_label=6, seed=1, reuse=True)
+    assert sl1 == sl2 and _os.path.getmtime(c2) == ms

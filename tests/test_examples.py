@@ -15,7 +15,12 @@ def _run(script, env_extra, *args):
     env = dict(os.environ)
     env.update(env_extra)
     # Match the suite's virtual CPU backend in the child process.
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # OVERRIDE, never setdefault: the ambient env carries
+    # JAX_PLATFORMS=axon here, and the scripts re-assert the env var
+    # in-process (apply_env_platform) — with setdefault these smokes
+    # silently ran on the relay-attached TPU chip, colliding with
+    # whatever campaign was training there (measured round 3).
+    env["JAX_PLATFORMS"] = env_extra.get("JAX_PLATFORMS", "cpu")
     env.pop("XLA_FLAGS", None)
     # Generous timeout: this box has ONE cpu — a concurrently running
     # job can triple the subprocess's wall time.
