@@ -190,7 +190,9 @@ def fit(
     win_gnorms = []
     stop = False
     epoch = start_epoch
+    ran_any = False  # did THIS call train at all? (resume may be a no-op)
     for epoch in range(start_epoch, epochs):
+        ran_any = True
         if not win_losses:
             metrics.start_epoch(epoch)  # window start: reset wall/seqs
         else:
@@ -320,16 +322,22 @@ def fit(
             break
 
     # Final flush: the run must always end with the latest state and the
-    # true best state on disk, whatever the checkpoint cadence.
-    if pending_best is not None and checkpoint_every > 1:
+    # true best state on disk, whatever the checkpoint cadence — but
+    # ONLY if this call actually trained. An immediate-return resume
+    # (start_epoch >= epochs, e.g. an eval-only re-invocation) must not
+    # rewrite checkpoints it didn't advance: a concurrent trainer on the
+    # same workdir would have its newer "latest" clobbered by this
+    # process's stale restore.
+    if ran_any and pending_best is not None and checkpoint_every > 1:
         _save("best", pending_best)
-    if checkpoint_every > 1:
+    if ran_any and checkpoint_every > 1:
         _save("latest")
     if ckpt_writer is not None:
         ckpt_writer.wait()
     return FitResult(
         state=state, best_val_loss=best_val,
-        epochs_run=epoch - start_epoch + 1, history=history,
+        epochs_run=(epoch - start_epoch + 1) if ran_any else 0,
+        history=history,
         best_state=pending_best if keep_best_state else None,
     )
 

@@ -61,6 +61,21 @@ def test_fit_trains_and_checkpoints(speech_data, tmp_path):
     res2 = fit(model, ds, workdir=str(tmp_path), resume=True, epochs=4)
     assert res2.epochs_run <= 2  # only the remaining epoch(s)
 
+    # An immediate-return resume (everything already trained) is a
+    # true no-op: reports 0 epochs and does NOT rewrite checkpoints —
+    # a concurrent trainer on the same workdir must not have its newer
+    # "latest" clobbered by this process's stale restore.
+    import os as _os
+    import time as _time
+
+    latest = str(tmp_path / "speech_latest.msgpack")
+    m0 = _os.path.getmtime(latest)
+    _time.sleep(0.05)
+    res3 = fit(model, ds, workdir=str(tmp_path), resume=True, epochs=4,
+               checkpoint_every=100)
+    assert res3.epochs_run == 0
+    assert _os.path.getmtime(latest) == m0
+
 
 def test_config_roundtrip(tmp_path):
     cfg = _speech_cfg()

@@ -112,3 +112,28 @@ def test_all_gather_and_reduce_scatter():
     out2 = np.asarray(rs(jnp.ones(64)))
     assert out2.shape == (8,)
     np.testing.assert_allclose(out2, 8.0)
+
+
+def test_env_platform_is_authoritative():
+    """JAX_PLATFORMS=cpu in a fresh child + apply_env_platform() must
+    select the CPU backend even when a sitecustomize hook re-pins the
+    platform at interpreter start (measured round 3: without this, the
+    suite's subprocess smokes silently ran on the relay-attached TPU)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from mgr_tpu.core.platform import apply_env_platform\n"
+         "apply_env_platform()\n"
+         "import jax\n"
+         "print(jax.default_backend())"],
+        capture_output=True, text=True, env=env, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert r.stdout.strip().splitlines()[-1] == "cpu", r.stdout
