@@ -190,3 +190,34 @@ def test_apply_matches_apply_tm_all_families():
             np.asarray(out), np.asarray(jnp.swapaxes(out_tm, 0, 1)),
             atol=1e-6, err_msg=model.config.name,
         )
+
+
+def test_fusion_model_pallas_matches_xla():
+    """The grafted late-fusion model through the fused Pallas kernels
+    (interpret mode on CPU) matches the XLA scan — closing the one
+    family the per-kernel parity tests didn't cover end-to-end. Round-3
+    context: fusion's on-chip loss plateau prompted a wrong-objective
+    hypothesis (training on Pallas logits, eval on XLA logits); this
+    test pins that the two paths agree for the two-encoder graft
+    structure."""
+    import jax.numpy as jnp
+
+    from mgr_tpu.ops import dispatch
+
+    sp = _tiny("speech", num_feats=5, nb_classes=7)
+    sk = _tiny("skeletal", num_feats=4, nb_classes=7)
+    lf = _tiny("late_fusion", num_feats=5, second_stream_feats=4,
+               nb_classes=7, fusion_hidden=4, encoder=sp.encoder)
+    m = build_model(lf, source_configs={"speech": sp, "skeletal": sk})
+    params = m.init(jax.random.key(0))
+    x1 = jax.random.normal(jax.random.key(1), (2, lf.maxlen, 5))
+    x2 = jax.random.normal(jax.random.key(2), (2, lf.maxlen, 4))
+
+    outs = {}
+    try:
+        for mode in ("xla", "pallas"):
+            dispatch.set_mode(mode)
+            outs[mode] = np.asarray(m.apply_tm(params, (x1, x2)))
+    finally:
+        dispatch.set_mode("auto")
+    np.testing.assert_allclose(outs["xla"], outs["pallas"], atol=1e-5)
