@@ -283,6 +283,12 @@ def _run_fusion(root):
         fusion_output_dropout=0.02,
         optimizer=_opt(LR),
         patience=10_000,
+        # MGR_TPU_CONV_BLANK_BIAS: opt-in CTC blank-dominance mitigation
+        # (PipelineConfig.head_blank_bias) — only effective for a FRESH
+        # fusion head (it is an init-time bias), i.e. without RESUME.
+        head_blank_bias=float(
+            os.environ.get("MGR_TPU_CONV_BLANK_BIAS", "0") or 0
+        ),
         **(_plateau_fields() if PLATEAU else {}),
     )
     resume_fusion = (

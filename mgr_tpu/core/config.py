@@ -151,6 +151,15 @@ class PipelineConfig:
     ctc: CTCConfig = field(default_factory=CTCConfig)
     # Late fusion: names of the pretrained uni-modal stages to load+freeze.
     fusion_sources: Tuple[str, ...] = ()
+    # Opt-in CTC blank-dominance mitigation: initialize the output
+    # head's BLANK-logit bias to this value (reference-parity default
+    # 0.0 — zero bias like keras Dense). A negative value (-2..-4)
+    # counteracts the early all-blank basin on dense-content corpora:
+    # the CTC alignment posterior is ~99% blank, so gradient descent
+    # raises blank's logit first and label spikes must then outgrow it
+    # (measured round 3: fusion head held at blank 0.995/frame with
+    # spread label mass for 15k+ steps).
+    head_blank_bias: float = 0.0
     fusion_hidden: int = 100  # trainable fusion BLSTM width (multimodal.py:159-168)
     # Fusion-stage regularization; defaults are the reference's
     # (multimodal.py:164 dropout=0.5, :171-173 Dropout(0.5)).

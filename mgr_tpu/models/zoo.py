@@ -52,8 +52,14 @@ def _all_trainable(params: Params) -> Params:
     return jax.tree.map(lambda _: True, params)
 
 
-def _head_init(rng: jax.Array, in_dim: int, nb_classes: int) -> Params:
-    return layers.init_dense(prng.fold_name(rng, "dense"), in_dim, nb_classes)
+def _head_init(rng: jax.Array, in_dim: int, nb_classes: int,
+               blank_bias: float = 0.0) -> Params:
+    p = layers.init_dense(prng.fold_name(rng, "dense"), in_dim, nb_classes)
+    if blank_bias:
+        # CTC blank = last class (data_generator.py:42). See
+        # PipelineConfig.head_blank_bias.
+        p["b"] = p["b"].at[nb_classes - 1].set(blank_bias)
+    return p
 
 
 def _head_apply(params, h, rate, *, train, rng, compute_dtype):
@@ -77,7 +83,8 @@ def _build_unimodal(cfg: PipelineConfig) -> ModelDef:
             "encoder": init_encoder(
                 prng.fold_name(rng, "encoder"), cfg.num_feats, cfg.encoder
             ),
-            "head": _head_init(rng, enc_out, cfg.nb_classes),
+            "head": _head_init(rng, enc_out, cfg.nb_classes,
+                               cfg.head_blank_bias),
         }
 
     def apply_tm(params, x, *, train=False, rng=None):
@@ -112,7 +119,8 @@ def _build_rgb(cfg: PipelineConfig) -> ModelDef:
             "encoder": init_encoder(
                 prng.fold_name(rng, "encoder"), enc_in, cfg.encoder
             ),
-            "head": _head_init(rng, enc_out, cfg.nb_classes),
+            "head": _head_init(rng, enc_out, cfg.nb_classes,
+                               cfg.head_blank_bias),
         }
 
     def _frontend(cnn_params, x):
@@ -156,7 +164,8 @@ def _build_early_fusion(cfg: PipelineConfig) -> ModelDef:
             "encoder": init_encoder(
                 prng.fold_name(rng, "encoder"), in_dim, cfg.encoder
             ),
-            "head": _head_init(rng, enc_out, cfg.nb_classes),
+            "head": _head_init(rng, enc_out, cfg.nb_classes,
+                               cfg.head_blank_bias),
         }
 
     def apply_tm(params, inputs: Tuple[jax.Array, jax.Array], *,
@@ -220,7 +229,8 @@ def _build_late_fusion(
             "fusion": lstm.init_bilstm_params(
                 prng.fold_name(rng, "fusion"), concat_dim, cfg.fusion_hidden
             ),
-            "head": _head_init(rng, head_in, cfg.nb_classes),
+            "head": _head_init(rng, head_in, cfg.nb_classes,
+                               cfg.head_blank_bias),
         }
 
     def apply_tm(params, inputs: Tuple[jax.Array, jax.Array], *,

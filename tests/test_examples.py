@@ -80,7 +80,9 @@ def test_convergence_check_late_fusion_smoke():
         # The measured dense-corpus recipe: non-finite guard +
         # self-annealing plateau schedule in every stage.
         "MGR_TPU_CONV_GUARD": "1",
-        "MGR_TPU_CONV_PLATEAU": "0.5:2:1e-4",
+        "MGR_TPU_CONV_PLATEAU": "0.5:2:1e-4:1e-3",
+        # Opt-in blank-bias init (covers the env parse + model knob).
+        "MGR_TPU_CONV_BLANK_BIAS": "-2.0",
     })
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])

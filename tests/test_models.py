@@ -221,3 +221,14 @@ def test_fusion_model_pallas_matches_xla():
     finally:
         dispatch.set_mode("auto")
     np.testing.assert_allclose(outs["xla"], outs["pallas"], atol=1e-5)
+
+
+def test_head_blank_bias_init():
+    """head_blank_bias seeds only the blank logit's bias (opt-in CTC
+    blank-dominance mitigation); default 0.0 keeps keras-parity zeros."""
+    cfg = _tiny("speech", num_feats=5, nb_classes=7)
+    b0 = build_model(cfg).init(jax.random.key(0))["head"]["b"]
+    assert float(np.abs(np.asarray(b0)).max()) == 0.0
+    cfg2 = cfg.replace(head_blank_bias=-3.0)
+    b = np.asarray(build_model(cfg2).init(jax.random.key(0))["head"]["b"])
+    assert b[-1] == -3.0 and np.all(b[:-1] == 0.0)
