@@ -33,7 +33,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
+import subprocess
+import sys
 import time
 
 import jax
@@ -44,6 +47,70 @@ REFERENCE_SEQS_PER_SEC = 1.5
 WARMUP_STEPS = 2
 TIMED_STEPS = 10
 REPEATS = 3
+
+# Relay-resilience knobs (VERDICT r3 item 2): the remote-attached chip
+# can wedge for ~20-40 min under load; a canary + bounded cooldown-retry
+# turns a transient wedge into a delayed measurement instead of rc=1.
+CANARY_TIMEOUT_S = float(os.environ.get("MGR_TPU_BENCH_CANARY_TIMEOUT", "150"))
+COOLDOWN_S = float(os.environ.get("MGR_TPU_BENCH_COOLDOWN", "1500"))
+CANARY_RETRIES = int(os.environ.get("MGR_TPU_BENCH_RETRIES", "3"))
+LOCK_WAIT_S = float(os.environ.get("MGR_TPU_BENCH_LOCK_WAIT", "3600"))
+
+_CANARY_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((256, 256));"
+    "print(float((x @ x).sum()))"
+)
+
+
+def _await_relay() -> None:
+    """Gate the heavy benchmark on chip health + exclusive ownership.
+
+    1. Defer (bounded) while another campaign holds the chip lock —
+       two concurrent TPU processes wedge the relay (CLAUDE.md).
+    2. Canary: a fresh subprocess runs a tiny matmul + scalar fetch;
+       a wedged relay hangs in backend init, so the subprocess can be
+       killed on timeout and retried after a cooldown (the parent
+       process could not abandon its own jax runtime this way).
+
+    CPU-pinned runs (JAX_PLATFORMS=cpu, e.g. test smokes) skip both —
+    the lock guards the relay, not the code."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+
+    from mgr_tpu.core import campaign
+
+    if not campaign.wait_free(timeout_s=LOCK_WAIT_S):
+        rec = campaign.holder()
+        print(
+            f"bench: chip lock still held after {LOCK_WAIT_S:.0f}s: {rec}",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
+    last = ""
+    for attempt in range(CANARY_RETRIES):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _CANARY_SRC],
+                capture_output=True, text=True, timeout=CANARY_TIMEOUT_S,
+            )
+            if r.returncode == 0:
+                return
+            last = r.stderr.strip()[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"canary hung >{CANARY_TIMEOUT_S:.0f}s (wedged relay)"
+        if attempt < CANARY_RETRIES - 1:
+            print(
+                f"bench: canary failed ({last}); cooling down "
+                f"{COOLDOWN_S:.0f}s before retry "
+                f"{attempt + 2}/{CANARY_RETRIES}",
+                file=sys.stderr,
+            )
+            time.sleep(COOLDOWN_S)
+    print(f"bench: relay unreachable after {CANARY_RETRIES} canary "
+          f"attempts: {last}", file=sys.stderr)
+    raise SystemExit(1)
 
 # Per-pipeline defaults: single-chip HBM-cap batch (BASELINE.md) and the
 # reference decode threshold (decode/decoder.py::DECODE_SPECS).
@@ -173,6 +240,18 @@ def main() -> None:
     # re-pin the platform (mgr_tpu/core/platform.py) — a CPU smoke of
     # this script must never land on the relay-attached chip.
     apply_env_platform()
+
+    # Chip runs only: defer to a live campaign, prove the relay answers
+    # (canary + bounded cooldown-retry), then own the chip for the
+    # duration of the measurement.
+    _await_relay()
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        from mgr_tpu.core import campaign
+
+        campaign.acquire("bench")
+        import atexit
+
+        atexit.register(campaign.release)
 
     from mgr_tpu.core import config as cfglib
     from mgr_tpu.core import prng

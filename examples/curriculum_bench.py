@@ -51,6 +51,11 @@ from mgr_tpu.core.platform import apply_env_platform
 # land this process on the relay-attached TPU chip.
 apply_env_platform()
 
+from mgr_tpu.core import campaign
+
+# One TPU process at a time (no-op under JAX_PLATFORMS=cpu).
+campaign.own_chip_or_exit("curriculum_bench")
+
 from mgr_tpu.core import config as cfglib
 from mgr_tpu.data.batcher import Batcher
 from mgr_tpu.models import build_model
@@ -89,15 +94,38 @@ SYNC_EVERY = int(os.environ.get("MGR_TPU_CB_SYNC_EVERY", "1"))
 # big-batch epochs are 1.5k-6k updates; fixed-epoch comparisons starve
 # the dense corpus (measured round 3: 0.0 accuracy at the ceiling).
 _TARGET = os.environ.get("MGR_TPU_CB_TARGET", "")
+# MGR_TPU_CB_ACC_TARGET="0.9" or "speech:0.95,skeletal:0.95,
+# late_fusion:0.9": measured mode stops each stage when its DECODED
+# train token accuracy reaches the target — the metric the reference's
+# 94% headline is stated in, and the honest stop condition (a loss
+# target can be met by the blank floor while argmax decodes nothing —
+# measured round 3). The stage runs in MGR_TPU_CB_ACC_EVERY-epoch
+# chunks with a decode+score between chunks (eval wall-clock counts:
+# the reference would also have to decode to know it is done).
+_ACC_TARGET = os.environ.get("MGR_TPU_CB_ACC_TARGET", "")
+ACC_EVERY = int(os.environ.get("MGR_TPU_CB_ACC_EVERY", "100"))
+# Fresh-head CTC blank-bias for the fusion stage (the measured unlock
+# for frozen-feature heads, PARITY.md opt-in knobs).
+FUSION_BLANK_BIAS = float(
+    os.environ.get("MGR_TPU_CB_BLANK_BIAS", "0") or 0
+)
+
+
+def _parse_stage_table(raw: str, stage: str):
+    if not raw:
+        return None
+    if ":" not in raw:
+        return float(raw)
+    table = dict(kv.split(":") for kv in raw.split(","))
+    return float(table[stage]) if stage in table else None
 
 
 def _target_for(stage: str):
-    if not _TARGET:
-        return None
-    if ":" not in _TARGET:
-        return float(_TARGET)
-    table = dict(kv.split(":") for kv in _TARGET.split(","))
-    return float(table[stage]) if stage in table else None
+    return _parse_stage_table(_TARGET, stage)
+
+
+def _acc_target_for(stage: str):
+    return _parse_stage_table(_ACC_TARGET, stage)
 
 
 REF_EPOCH_CEILING = 500
@@ -155,14 +183,39 @@ def _bench_stage(cfg, data, workdir, *, resume=False):
     # (val files are unseen random sequences), so best-val selection
     # would return the least-trained state.
     target = _target_for(cfg.name) if MEASURED else None
-    result = fit(
-        model, data, workdir=workdir, epochs=EPOCHS, resume=resume,
-        checkpoint_every=100,
-        monitor="train" if MEASURED else "val",
-        keep_best_state=MEASURED,
-        sync_every=SYNC_EVERY,
-        stop_below=target,
-    )
+    acc_target = _acc_target_for(cfg.name) if MEASURED else None
+
+    def _fit(up_to, resume_now):
+        return fit(
+            model, data, workdir=workdir, epochs=up_to, resume=resume_now,
+            checkpoint_every=100,
+            monitor="train" if MEASURED else "val",
+            keep_best_state=MEASURED,
+            sync_every=SYNC_EVERY,
+            stop_below=target,
+        )
+
+    acc_probe = None
+    if acc_target is None:
+        result = _fit(EPOCHS, resume)
+    else:
+        # Wall-clock-to-accuracy: run in ACC_EVERY-epoch chunks and
+        # decode+score the chunk's best state between chunks, stopping
+        # at the target. The eval passes count toward wall-clock (the
+        # reference, too, only knows it converged by decoding).
+        from mgr_tpu.decode.evaluate import evaluate_accuracy as _ev
+
+        done = 0
+        while done < EPOCHS:
+            up_to = min(done + ACC_EVERY, EPOCHS)
+            result = _fit(up_to, resume or done > 0)
+            done = up_to
+            probe_state = result.best_state if result.best_state \
+                is not None else result.state
+            acc_probe = _ev(model, probe_state.params, data,
+                            train_split=True)["accuracy"]
+            if acc_probe >= acc_target:
+                break
     wall = time.time() - t0
     steady = result.history[2:] or result.history
     # At sync_every>1 each record covers a window; amortize its wall
@@ -181,13 +234,23 @@ def _bench_stage(cfg, data, workdir, *, resume=False):
         best = result.best_state if result.best_state is not None \
             else result.state
         acc = evaluate_accuracy(model, best.params, data, train_split=True)
-        out["epochs_run"] = result.epochs_run
+        # Total epochs this stage ran in THIS process: under the
+        # chunked accuracy loop, result.epochs_run covers only the last
+        # chunk; the checkpointed step is the cross-chunk truth.
+        out["epochs_run"] = int(result.state.step) // max(
+            data.num_batches(cfg.batch_size, train=True), 1
+        )
         out["train_accuracy"] = round(acc["accuracy"], 4)
         out["train_wer"] = round(acc["wer"], 4)
         out["best_train_loss"] = round(result.best_val_loss, 3)
         if target is not None:
             out["target_loss"] = target
             out["reached_target"] = bool(result.best_val_loss < target)
+        if acc_target is not None:
+            out["target_accuracy"] = acc_target
+            out["reached_accuracy_target"] = bool(
+                acc_probe is not None and acc_probe >= acc_target
+            )
         # The graft must see the best-train state, not wherever the
         # 500th epoch happened to land (late-run divergence is real at
         # large-batch LR — measured in round 2).
@@ -238,6 +301,11 @@ def main() -> None:
                 reduce_lr_patience=15,
                 reduce_lr_min=1e-4,
             )
+            if name == "late_fusion" and FUSION_BLANK_BIAS:
+                # Fresh-head blank-bias: the measured unlock for the
+                # frozen-feature fusion head's all-blank basin
+                # (PARITY.md opt-in knobs; init-time only).
+                cfg = cfg.replace(head_blank_bias=FUSION_BLANK_BIAS)
         if MAXLEN:
             cfg = cfg.replace(maxlen=MAXLEN)
         if HIDDEN_SCALE != 1:

@@ -21,6 +21,11 @@ from mgr_tpu.core.platform import apply_env_platform
 # land this process on the relay-attached TPU chip.
 apply_env_platform()
 
+from mgr_tpu.core import campaign
+
+# One TPU process at a time (no-op under JAX_PLATFORMS=cpu).
+campaign.own_chip_or_exit("synthetic_end_to_end")
+
 from mgr_tpu.core import config as cfglib
 from mgr_tpu.data import datasets, synthetic, vocab
 from mgr_tpu.decode import Decoder, mlf, read_mlf, score_sequences

@@ -36,6 +36,13 @@ from mgr_tpu.core.platform import apply_env_platform
 # land this process on the relay-attached TPU chip.
 apply_env_platform()
 
+from mgr_tpu.core import campaign
+
+# One TPU process at a time: own the chip lock (no-op under
+# JAX_PLATFORMS=cpu) so test smokes / bench runs defer instead of
+# colliding with this campaign and wedging the relay (round-3 failure).
+campaign.own_chip_or_exit("tpu_convergence_check")
+
 from mgr_tpu.core import config as cfglib
 from mgr_tpu.data import datasets, synthetic
 from mgr_tpu.decode.evaluate import evaluate_accuracy
@@ -125,6 +132,17 @@ def _parity_overrides(cfg, hidden):
         ),
         optimizer=_opt(LR),
         patience=10_000,
+        # MGR_TPU_CONV_PRETRAIN_BLANK_BIAS: CTC blank-dominance
+        # mitigation for the UNI-MODAL stages (head_blank_bias, an
+        # init-time knob — only effective for fresh heads, i.e. runs
+        # without an existing checkpoint). Round-3 evidence: the
+        # ChaLearn-density skeletal pretrain oscillates at its blank
+        # floor at 3e-3 and the plateau controller anneals it INTO the
+        # floor; the biased head is the measured escape lever at tiny
+        # scale (CLAUDE.md round-3 fusion findings).
+        head_blank_bias=float(
+            os.environ.get("MGR_TPU_CONV_PRETRAIN_BLANK_BIAS", "0") or 0
+        ),
         **(_plateau_fields() if PLATEAU else {}),
     )
     assert cfg.ctc.padded_length_parity and cfg.ctc.trim_frames == 2

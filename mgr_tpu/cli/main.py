@@ -525,6 +525,12 @@ def main(argv: Optional[list] = None) -> int:
     from mgr_tpu.core.platform import apply_env_platform
 
     apply_env_platform()
+    # One TPU process at a time: own the machine-wide chip lock (no-op
+    # under JAX_PLATFORMS=cpu) so concurrent CLI/bench/test processes
+    # defer instead of wedging the relay (mgr_tpu/core/campaign.py).
+    from mgr_tpu.core import campaign
+
+    campaign.own_chip_or_exit(f"cli:{getattr(args, 'cmd', args.fn.__name__)}")
     # Multi-host bring-up BEFORE any JAX backend use; a no-op unless a
     # coordinator is configured (JAX_COORDINATOR_ADDRESS et al.), so the
     # same CLI runs on one host or a pod slice unchanged.

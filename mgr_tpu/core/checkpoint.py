@@ -87,7 +87,12 @@ def load_checkpoint_flexible(
     Falls back to restoring ``params`` and ``step`` only, keeping the
     template's freshly initialized optimizer state — Adam moments are
     lost, which costs a few warmup steps but preserves the trained
-    weights and the resume epoch derivation."""
+    weights and the resume epoch derivation. The LR schedule count is
+    REWOUND to the restored step: a fresh ``scale_by_schedule`` state
+    counts from 0, which with ``decay>0`` would silently jump a resumed
+    run back to the base LR (e.g. ~1.3x higher after 30k steps at
+    decay=1e-5). Adam's own count stays 0 on purpose — its bias
+    correction must match the zeroed moments."""
     try:
         return load_checkpoint(workdir, stamp, template, slot=slot)
     except (ValueError, KeyError) as exc:
@@ -103,10 +108,40 @@ def load_checkpoint_flexible(
         )
         logging.warning(
             "checkpoint %s/%s: optimizer state layout mismatch (%s); "
-            "restored params+step only, optimizer moments reset",
-            stamp, slot, exc,
+            "restored params+step only, optimizer moments reset "
+            "(LR-schedule count rewound to step %d)",
+            stamp, slot, exc, int(step),
         )
+        opt_state = _rewind_schedule_count(template.opt_state, step) \
+            if hasattr(template, "opt_state") else None
+        if opt_state is not None:
+            return template._replace(
+                step=step, params=params, opt_state=opt_state
+            )
         return template._replace(step=step, params=params)
+
+
+def _rewind_schedule_count(opt_state: Any, step) -> Any:
+    """Set every ``optax.ScaleByScheduleState.count`` in a fresh
+    optimizer state to ``step``, so inverse-time LR decay
+    (``keras_adam``'s ``neg_decayed_lr``) resumes where it left off."""
+    import optax
+
+    step_value = int(step)  # fresh buffer per occurrence: donation in
+    # the jitted train step would otherwise see the state.step array
+    # aliased into the opt_state and reject the double donation.
+
+    def fix(x):
+        if isinstance(x, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jax.numpy.array(step_value, jax.numpy.int32)
+            )
+        return x
+
+    return jax.tree_util.tree_map(
+        fix, opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+    )
 
 
 def has_checkpoint(workdir: str, stamp: str, slot: str = "latest") -> bool:

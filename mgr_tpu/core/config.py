@@ -182,6 +182,15 @@ class PipelineConfig:
     # improving ~1e-3/window resets patience forever and the anneal
     # never fires (CLAUDE.md round-3 findings).
     reduce_lr_min_delta: float = 1e-4
+    # Keras cooldown: updates after a reduction during which patience
+    # does not accumulate (reference: cnn_lstm.py:444 cooldown=2).
+    reduce_lr_cooldown: int = 0
+    # Which loss drives the plateau controller — INDEPENDENT of fit()'s
+    # best-checkpoint/early-stop monitor. The reference's only wired
+    # ReduceLROnPlateau monitors 'loss', i.e. the TRAIN loss
+    # (cnn_lstm.py:439), so "train" is the parity default; "monitor"
+    # follows fit(monitor=...) instead (the pre-round-4 behavior).
+    reduce_lr_monitor: str = "train"
     seed: int = 47  # reference weight-init seed (speech_lstm_ctc_words.py:44)
     split_seed: int = 10  # reference split seed (data_generator.py:72)
     val_split: float = 0.2
@@ -274,6 +283,7 @@ def rgb() -> PipelineConfig:
                               dropout=(0.0, 0.0), output_dropout=0.0),
         cnn=CNNConfig(),
         reduce_lr_factor=0.5,
+        reduce_lr_cooldown=2,  # cnn_lstm.py:444
         batch_size=8,
     )
 

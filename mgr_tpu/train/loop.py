@@ -37,6 +37,12 @@ from mgr_tpu.train.step import (
 @dataclasses.dataclass
 class FitResult:
     state: TrainState
+    # Minimum MONITORED loss seen at any fetched reading. Under
+    # sync_every=K>1 this is finer-grained than the state snapshots:
+    # the best/returned state is the WINDOW-END state, whose own loss
+    # is `best_state_loss` — report that one next to accuracies of
+    # best_state, not best_val_loss (they can differ by up to a
+    # window's descent).
     best_val_loss: float
     epochs_run: int
     history: list
@@ -44,6 +50,9 @@ class FitResult:
     # fit(keep_best_state=True) (it holds a second full parameter tree
     # in HBM, so it is opt-in).
     best_state: Optional[TrainState] = None
+    # Monitored loss of the actually-captured best state (window-end
+    # reading at capture time); NaN when no state was ever captured.
+    best_state_loss: float = float("nan")
 
 
 def fit(
@@ -165,10 +174,39 @@ def fit(
             cfg.reduce_lr_factor, cfg.reduce_lr_patience,
             cfg.reduce_lr_min, cfg.optimizer.learning_rate,
             min_delta=cfg.reduce_lr_min_delta,
+            cooldown=cfg.reduce_lr_cooldown,
+        )
+
+    if sync_every > 1 and monitor != "train":
+        # Keras-parity knobs quietly rescale under windowed syncing:
+        # the val pass only exists on sync epochs, so patience counts
+        # WINDOWS (effective patience = patience * sync_every epochs)
+        # and the best slot holds window-end states.
+        import logging
+
+        logging.warning(
+            "fit(sync_every=%d, monitor='val'): EarlyStopping patience "
+            "%d now counts %d-epoch windows (= %d epochs) and the best "
+            "state has window-end granularity",
+            sync_every, cfg.patience, sync_every,
+            cfg.patience * sync_every,
+        )
+    if sync_every > 1 and checkpoint_every < sync_every and workdir:
+        # checkpoint_every=1 (the default) would still serialize the
+        # ~100 MB tree per epoch mid-window — exactly the host traffic
+        # sync_every exists to avoid.
+        import logging
+
+        logging.warning(
+            "fit(sync_every=%d, checkpoint_every=%d): the latest slot "
+            "is still written every %d epoch(s); raise checkpoint_every "
+            ">= sync_every unless per-epoch serialization is intended",
+            sync_every, checkpoint_every, max(checkpoint_every, 1),
         )
 
     data_key = prng.fold_name(prng.root_key(seed), "dropout")
     best_val = float("inf")
+    best_state_loss = float("nan")
     pending_best = None
     wait = 0
     lr_scale = 1.0
@@ -265,9 +303,11 @@ def fit(
         )
         history.append(rec)
 
-        # Best/early-stop/plateau decisions per fetched train loss (one
+        # Best/early-stop decisions per fetched train loss (one
         # decision per window under monitor="val": the val pass only
         # exists on sync epochs, so patience then counts windows).
+        # The plateau controller is updated separately below with its
+        # own monitor (cfg.reduce_lr_monitor).
         monitored_seq = (
             train_seq if (monitor == "train" or val_loss is None)
             else [val_loss]
@@ -292,16 +332,26 @@ def fit(
                 # breaks on wait >= patience).
                 if wait >= cfg.patience:
                     stop = True
-            # The plateau controller follows the MONITORED loss: val by
-            # default (keras ReduceLROnPlateau semantics,
-            # cnn_lstm.py:439), train loss under monitor="train" —
-            # memorization corpora have no meaningful val signal, and
-            # the large-batch escape LR needs annealing once train loss
-            # hits its oscillation floor (measured: skeletal at 3e-3
-            # bounces in 9-31 for 1900 epochs).
-            if plateau is not None and monitored == monitored:
-                lr_scale = plateau.update(monitored)
+        # The plateau controller has its OWN monitor, decoupled from
+        # the best-checkpoint/early-stop signal: the reference's only
+        # wired ReduceLROnPlateau follows 'loss' — the TRAIN loss —
+        # with cooldown=2 (cnn_lstm.py:439-444), so
+        # reduce_lr_monitor="train" (the default) feeds it each
+        # fetched per-epoch train loss; "monitor" replays the
+        # early-stop signal instead (one val reading per window).
+        if plateau is not None:
+            plateau_seq = (
+                train_seq
+                if (cfg.reduce_lr_monitor == "train" or val_loss is None)
+                else monitored_seq
+            )
+            for m in plateau_seq:
+                if m == m:  # skip NaN readings
+                    lr_scale = plateau.update(m)
         if improved_in_window:
+            # Loss of the state actually being captured: the window-end
+            # reading (== the improving epoch's at sync_every=1).
+            best_state_loss = monitored_seq[-1]
             if checkpoint_every > 1 or keep_best_state:
                 # Retain a device COPY of the best state — at
                 # sync_every=1 exactly the improving epoch's state, at
@@ -339,6 +389,7 @@ def fit(
         epochs_run=(epoch - start_epoch + 1) if ran_any else 0,
         history=history,
         best_state=pending_best if keep_best_state else None,
+        best_state_loss=best_state_loss,
     )
 
 

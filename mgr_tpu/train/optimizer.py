@@ -87,31 +87,43 @@ def apply_maxnorm(params: Params, max_value: Optional[float]) -> Params:
 
 class ReduceLROnPlateau:
     """Host-side LR controller matching keras.callbacks.ReduceLROnPlateau
-    (factor/patience/min_lr as in rgb_network/cnn_lstm.py:439-444).
+    (factor/patience/min_lr/cooldown as in rgb_network/cnn_lstm.py:
+    439-444, which monitors 'loss' — the TRAIN loss — with cooldown=2).
 
     Tracked as a multiplicative scale the train step consumes, so the
     jitted computation never recompiles on LR change."""
 
     def __init__(self, factor: float, patience: int, min_lr: float,
-                 base_lr: float, min_delta: float = 1e-4):
+                 base_lr: float, min_delta: float = 1e-4,
+                 cooldown: int = 0):
         self.factor = factor
         self.patience = patience
         self.min_scale = min_lr / base_lr
         self.min_delta = min_delta
+        self.cooldown = cooldown
+        self.cooldown_counter = 0
         self.best = float("inf")
         self.wait = 0
         self.scale = 1.0
 
-    def update(self, val_loss: float) -> float:
+    def update(self, monitored: float) -> float:
+        # Keras cooldown semantics: for `cooldown` updates after a
+        # reduction, patience does not accumulate (wait pinned to 0),
+        # so the controller cannot re-fire back-to-back while the run
+        # adjusts to the new LR.
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.wait = 0
         # Improvements below min_delta do not reset patience — a run
         # that descends continuously but negligibly still anneals
         # (keras min_delta semantics; default 1e-4 matches keras).
-        if val_loss < self.best - self.min_delta:
-            self.best = val_loss
+        if monitored < self.best - self.min_delta:
+            self.best = monitored
             self.wait = 0
-        else:
+        elif self.cooldown_counter <= 0:
             self.wait += 1
             if self.wait >= self.patience:
                 self.scale = max(self.scale * self.factor, self.min_scale)
+                self.cooldown_counter = self.cooldown
                 self.wait = 0
         return self.scale

