@@ -119,6 +119,16 @@ def _plateau_fields() -> dict:
     return fields
 
 
+def _pretrain_blank_bias(stage: str) -> float:
+    raw = os.environ.get("MGR_TPU_CONV_PRETRAIN_BLANK_BIAS", "")
+    if not raw:
+        return 0.0
+    if ":" not in raw:
+        return float(raw)
+    table = dict(kv.split(":") for kv in raw.split(","))
+    return float(table.get(stage, 0) or 0)
+
+
 def _parity_overrides(cfg, hidden):
     """Production widths + parity semantics; regularization rates scaled
     down for a small synthetic corpus (the reference's 0.5-0.6 rates are
@@ -135,14 +145,14 @@ def _parity_overrides(cfg, hidden):
         # MGR_TPU_CONV_PRETRAIN_BLANK_BIAS: CTC blank-dominance
         # mitigation for the UNI-MODAL stages (head_blank_bias, an
         # init-time knob — only effective for fresh heads, i.e. runs
-        # without an existing checkpoint). Round-3 evidence: the
-        # ChaLearn-density skeletal pretrain oscillates at its blank
-        # floor at 3e-3 and the plateau controller anneals it INTO the
-        # floor; the biased head is the measured escape lever at tiny
-        # scale (CLAUDE.md round-3 fusion findings).
-        head_blank_bias=float(
-            os.environ.get("MGR_TPU_CONV_PRETRAIN_BLANK_BIAS", "0") or 0
-        ),
+        # without an existing checkpoint). "-3" applies to every
+        # uni-modal stage; "skeletal:-3" (comma-separated table) per
+        # stage. Round-3 evidence: the ChaLearn-density skeletal
+        # pretrain oscillates at its blank floor at 3e-3 and the
+        # plateau controller anneals it INTO the floor; the biased head
+        # is the measured escape lever at tiny scale (CLAUDE.md
+        # round-3 fusion findings).
+        head_blank_bias=_pretrain_blank_bias(cfg.name),
         **(_plateau_fields() if PLATEAU else {}),
     )
     assert cfg.ctc.padded_length_parity and cfg.ctc.trim_frames == 2
