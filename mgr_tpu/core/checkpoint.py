@@ -46,6 +46,26 @@ def load_config(workdir: str, stamp: str) -> PipelineConfig:
         return PipelineConfig.from_json(f.read())
 
 
+def save_fit_meta(workdir: str, stamp: str, meta: dict) -> None:
+    """Sidecar facts about the run that produced the checkpoints —
+    currently the per-epoch batch count, which fit(resume=True) needs
+    to derive start_epoch correctly (step // num_batches)."""
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, f"{stamp}_fitmeta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def load_fit_meta(workdir: str, stamp: str) -> dict:
+    try:
+        with open(os.path.join(workdir, f"{stamp}_fitmeta.json")) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
 def save_checkpoint(
     workdir: str, stamp: str, state: Any, *, slot: str = "latest"
 ) -> str:

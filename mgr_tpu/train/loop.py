@@ -118,14 +118,34 @@ def fit(
     epochs = epochs if epochs is not None else cfg.epochs
     seed = seed if seed is not None else cfg.seed
 
+    num_train_batches = max(data.num_batches(cfg.batch_size, train=True), 1)
     state = create_train_state(model, prng.root_key(seed))
     if resume and workdir and ckpt_lib.has_checkpoint(workdir, stamp):
         # Flexible restore: survives an optimizer-wrapper change between
         # save and resume (e.g. toggling skip_nonfinite) by falling back
         # to params+step with fresh optimizer moments.
         state = ckpt_lib.load_checkpoint_flexible(workdir, stamp, state)
+        # Resume derives start_epoch = step // num_batches, so a
+        # relaunch against a DIFFERENT corpus/batch geometry silently
+        # mis-derives it — measured round 3: a 96-file relaunch of a
+        # 160-file run computed start_epoch 6266 >= epochs and returned
+        # without training. Refuse loudly instead.
+        saved = ckpt_lib.load_fit_meta(workdir, stamp)
+        if saved.get("num_train_batches") not in (None, num_train_batches):
+            raise ValueError(
+                f"fit(resume=True) on '{stamp}': this corpus yields "
+                f"{num_train_batches} train batches/epoch but the "
+                f"checkpoint was written with "
+                f"{saved['num_train_batches']} — start_epoch would be "
+                f"mis-derived (step // num_batches). Relaunch with the "
+                f"original corpus/batch geometry, or start a fresh "
+                f"workdir."
+            )
     if workdir:
         ckpt_lib.save_config(workdir, stamp, cfg)
+        ckpt_lib.save_fit_meta(
+            workdir, stamp, {"num_train_batches": num_train_batches}
+        )
     if mesh is not None:
         state = state._replace(
             params=shard_lib.shard_params(state.params, mesh)
@@ -211,9 +231,7 @@ def fit(
     wait = 0
     lr_scale = 1.0
     history = []
-    start_epoch = int(state.step) // max(
-        data.num_batches(cfg.batch_size, train=True), 1
-    )
+    start_epoch = int(state.step) // num_train_batches
 
     import jax.numpy as jnp
 

@@ -121,6 +121,12 @@ def test_curriculum_bench_measured_smoke():
         "MGR_TPU_CB_EPOCHS": "2", "MGR_TPU_CB_MAXLEN": "16",
         "MGR_TPU_CB_BATCH": "2", "MGR_TPU_CB_HIDDEN_SCALE": "0.02",
         "MGR_TPU_CB_MEASURED": "1",
+        # Exercise the chunked wall-clock-to-accuracy path: chunk size
+        # 1 epoch, target 0 (met by the first probe) for speech, no
+        # target for the others.
+        "MGR_TPU_CB_ACC_TARGET": "speech:0.0",
+        "MGR_TPU_CB_ACC_EVERY": "1",
+        "MGR_TPU_CB_BLANK_BIAS": "-3",
     })
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
@@ -128,3 +134,5 @@ def test_curriculum_bench_measured_smoke():
     assert out["measured_total_s"] > 0
     for stage in out["stages"].values():
         assert "train_accuracy" in stage and "epochs_run" in stage
+    assert out["stages"]["speech"]["reached_accuracy_target"] is True
+    assert out["stages"]["speech"]["epochs_run"] == 1  # stopped at probe

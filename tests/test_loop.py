@@ -512,3 +512,27 @@ def test_gspmd_fallback_warns_on_unfused_mesh(caplog):
         make_train_step(build_model(cfg), mesh=mesh)
     assert any("fused Pallas kernels DISENGAGE" in r.message
                for r in caplog.records)
+
+
+def test_resume_refuses_mismatched_corpus_geometry(speech_data, tmp_path):
+    """fit(resume=True) derives start_epoch = step // num_batches, so a
+    relaunch against a different corpus size would silently skip
+    training (measured round 3: a 96-file relaunch of a 160-file run
+    computed start_epoch past the target and returned immediately).
+    The fit-meta sidecar now makes that a loud error."""
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    model = build_model(cfg)
+    fit(model, ds, workdir=str(tmp_path), epochs=2)
+
+    # Same geometry resumes fine.
+    res = fit(model, ds, workdir=str(tmp_path), resume=True, epochs=3)
+    assert res.epochs_run == 1
+
+    # Different batch size -> different batches/epoch -> refuse.
+    cfg2 = _speech_cfg(batch_size=4)
+    ds2 = datasets.build_audio_dataset(data_dir, label_file, cfg2)
+    with pytest.raises(ValueError, match="train batches/epoch"):
+        fit(build_model(cfg2), ds2, workdir=str(tmp_path), resume=True,
+            epochs=4)
