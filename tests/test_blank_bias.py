@@ -1,0 +1,103 @@
+"""Convergence pin for the head_blank_bias escape (VERDICT r3 item 7).
+
+The measured round-3 phenomenon: a CTC head training on FROZEN features
+(the late-fusion stage's regime, multimodal.py:133-148 freeze +
+:171-179 head) sits in the all-blank basin — loss descends via the
+blank floor while argmax decodes nothing — for thousands of epochs,
+while the same head initialized with a negative blank-logit bias
+(PipelineConfig.head_blank_bias) decodes immediately. This test pins
+the mechanism at micro scale so the unlock cannot regress: a linear
+head over weak frozen class-signature features on a content-dense
+lattice, fully deterministic (fixed seeds, CPU highest-precision
+matmuls).
+
+Tiny-scale A/B evidence behind the pin (CLAUDE.md round-3 findings):
+unbiased fusion heads decode 0.0 after 3000 epochs; head_blank_bias=-3
+reaches 0.302-0.698 train accuracy on the same frozen features.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mgr_tpu.ops.ctc import ctc_loss_from_logits
+
+K = 12    # classes incl. blank (= K-1, data_generator.py:42 convention)
+F = 16    # frozen feature dim
+B = 16
+T = 400
+WIN = 40  # frames per gesture -> content-dense (10 gestures fill T)
+L = T // WIN
+SIG = 0.15  # weak feature magnitude: a mediocre frozen encoder
+
+
+@pytest.fixture(scope="module")
+def frozen_corpus():
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, K - 1, size=(B, L)).astype(np.int32)
+    protos = rng.standard_normal((K - 1, F)).astype(np.float32)
+    x = np.repeat(protos[labels], WIN, axis=1) * SIG
+    x += 0.05 * rng.standard_normal(x.shape).astype(np.float32)
+    return jnp.asarray(x), labels
+
+
+def _token_accuracy(pred, labels):
+    correct = tot = 0
+    for b in range(B):
+        seq = [k for k, _ in itertools.groupby(pred[b]) if k != K - 1]
+        tot += L
+        correct += sum(a == b_ for a, b_ in zip(seq, labels[b]))
+    return correct / tot
+
+
+def _train_head(x, labels, blank_bias, epochs, lr=3e-3):
+    """Linear head over frozen features + CTC — the late-fusion head's
+    regime reduced to its smallest reproducing form."""
+    params = {
+        "W": 0.05 * jax.random.uniform(
+            jax.random.key(47), (F, K), minval=-1, maxval=1
+        ),
+        "b": jnp.zeros((K,)).at[K - 1].set(blank_bias),
+    }
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    lab = jnp.asarray(labels)
+    in_len = jnp.full((B,), T, jnp.int32)
+    lab_len = jnp.full((B,), L, jnp.int32)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = x @ p["W"] + p["b"]
+            return ctc_loss_from_logits(logits, lab, in_len, lab_len).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    for _ in range(epochs):
+        params, opt, loss = step(params, opt)
+    pred = np.asarray(jnp.argmax(x @ params["W"] + params["b"], -1))
+    return _token_accuracy(pred, labels), float(loss)
+
+
+def test_biased_head_escapes_blank_basin(frozen_corpus):
+    """head_blank_bias=-3 decodes within 100 epochs where the unbiased
+    head is still argmax-all-blank after 3x the budget — the measured
+    frozen-feature unlock, pinned. Loss comparisons between the two
+    regimes mislead (the unbiased loss is mostly blank-floor
+    optimization), so accuracy is the asserted endpoint."""
+    x, labels = frozen_corpus
+    acc_biased, _ = _train_head(x, labels, blank_bias=-3.0, epochs=100)
+    acc_unbiased, loss_unbiased = _train_head(
+        x, labels, blank_bias=0.0, epochs=300
+    )
+    assert acc_biased >= 0.15, acc_biased
+    assert acc_unbiased == 0.0, acc_unbiased
+    # The unbiased run IS optimizing (loss falls well below init ~900);
+    # it is the decode that stays empty — the basin, not a broken setup.
+    assert np.isfinite(loss_unbiased) and loss_unbiased < 600.0
