@@ -104,11 +104,10 @@ _TARGET = os.environ.get("MGR_TPU_CB_TARGET", "")
 # the reference would also have to decode to know it is done).
 _ACC_TARGET = os.environ.get("MGR_TPU_CB_ACC_TARGET", "")
 ACC_EVERY = int(os.environ.get("MGR_TPU_CB_ACC_EVERY", "100"))
-# Fresh-head CTC blank-bias for the fusion stage (the measured unlock
-# for frozen-feature heads, PARITY.md opt-in knobs).
-FUSION_BLANK_BIAS = float(
-    os.environ.get("MGR_TPU_CB_BLANK_BIAS", "0") or 0
-)
+# Fresh-head CTC blank-bias (the measured unlock for frozen-feature
+# heads, PARITY.md opt-in knobs): "-3" applies to the late_fusion stage
+# only; "skeletal:-3,late_fusion:-3" tables name stages explicitly.
+_BLANK_BIAS = os.environ.get("MGR_TPU_CB_BLANK_BIAS", "")
 
 
 def _parse_stage_table(raw: str, stage: str):
@@ -301,11 +300,17 @@ def main() -> None:
                 reduce_lr_patience=15,
                 reduce_lr_min=1e-4,
             )
-            if name == "late_fusion" and FUSION_BLANK_BIAS:
+            bias = (
+                _parse_stage_table(_BLANK_BIAS, name)
+                if ":" in _BLANK_BIAS
+                else (float(_BLANK_BIAS or 0)
+                      if name == "late_fusion" else None)
+            )
+            if bias:
                 # Fresh-head blank-bias: the measured unlock for the
                 # frozen-feature fusion head's all-blank basin
                 # (PARITY.md opt-in knobs; init-time only).
-                cfg = cfg.replace(head_blank_bias=FUSION_BLANK_BIAS)
+                cfg = cfg.replace(head_blank_bias=bias)
         if MAXLEN:
             cfg = cfg.replace(maxlen=MAXLEN)
         if HIDDEN_SCALE != 1:
