@@ -113,6 +113,26 @@ def test_convergence_check_early_fusion_smoke():
     assert "train_accuracy" in out["early_fusion"]
 
 
+def test_skeletal_bias_ab_smoke(tmp_path):
+    """Both arms of the blank-bias A/B run end-to-end at toy geometry
+    (the real A/B runs at the BASELINE.md round-4 defaults)."""
+    for arm, bias in (("biased", -2.0), ("unbiased", 0.0)):
+        r = _run("skeletal_bias_ab.py", {
+            "MGR_TPU_AB_FILES": "4", "MGR_TPU_AB_MAXLEN": "32",
+            "MGR_TPU_AB_FPL": "6", "MGR_TPU_AB_LABELS": "3",
+            "MGR_TPU_AB_SCALE": "0.02", "MGR_TPU_AB_BATCH": "2",
+            "MGR_TPU_AB_EPOCHS1": "2", "MGR_TPU_AB_EPOCHS2": "1",
+            "MGR_TPU_AB_BIAS": str(bias),
+            "MGR_TPU_AB_ROOT": str(tmp_path / "corpus"),
+            "MGR_TPU_AB_WORKDIR": str(tmp_path / f"wd_{arm}"),
+        }, arm)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["arm"] == arm
+        assert out["head_blank_bias"] == bias
+        assert "train_accuracy" in out
+
+
 def test_curriculum_bench_measured_smoke():
     """Measured mode: 500-epoch ceiling runs with per-stage decode
     accuracy (toy geometry here; the real run happens on the chip)."""
