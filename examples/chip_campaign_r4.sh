@@ -129,3 +129,21 @@ else
 fi
 
 note "queue complete"
+
+# Phase 2 (appended while the queue ran; bash reads the script
+# incrementally so append-only edits are picked up): the measured
+# wall-clock-to-ACCURACY curriculum at reference geometry (VERDICT
+# round-3 item 5). Guarded by a start-time cutoff so it cannot overrun
+# the round: skipped when started after MGR_TPU_R4_CUTOFF (epoch secs).
+CUTOFF=${MGR_TPU_R4_CUTOFF:-0}
+if [ "$CUTOFF" != "0" ] && [ "$(date +%s)" -gt "$CUTOFF" ]; then
+  note "curriculum_acc skipped (past cutoff)"
+else
+  stage curriculum_acc env MGR_TPU_CB_MEASURED=1 MGR_TPU_CB_EPOCHS=3000 \
+    MGR_TPU_CB_ACC_TARGET="speech:0.95,skeletal:0.95,late_fusion:0.9" \
+    MGR_TPU_CB_ACC_EVERY=250 \
+    MGR_TPU_CB_BLANK_BIAS="skeletal:-3,late_fusion:-3" \
+    MGR_TPU_CB_SYNC_EVERY=10 \
+    python examples/curriculum_bench.py
+fi
+note "queue fully complete"
