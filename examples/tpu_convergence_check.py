@@ -129,6 +129,31 @@ def _pretrain_blank_bias(stage: str) -> float:
     return float(table.get(stage, 0) or 0)
 
 
+def _pretrain_ladder(stage: str) -> list:
+    """Per-stage pretrain LR ladder: MGR_TPU_CONV_PRETRAIN_LADDER=
+    "skeletal:3e-4x5000+1e-4x8000" — '+'-separated legs of LRxTOTAL
+    (cumulative epoch target, so resumed invocations are idempotent),
+    ';'-separated stages. Supersedes the single _PRETRAIN_LR2/_EPOCHS2
+    leg for stages it names. Motivation (round-4 fusion_leg1): the
+    dense-corpus skeletal pretrain ground at loss 9.15 for the whole
+    1000-epoch 3e-4 leg; the round-3 calibration says ~2000 epochs of
+    low-LR persistence (1e-4) is what breaks this plateau (7.7 -> 3.6),
+    so the recipe needs MULTIPLE anneal legs, not one."""
+    raw = os.environ.get("MGR_TPU_CONV_PRETRAIN_LADDER", "")
+    if not raw:
+        return []
+    for part in raw.split(";"):
+        name, _, legs = part.partition(":")
+        if name.strip() != stage or not legs:
+            continue
+        out = []
+        for leg in legs.split("+"):
+            lr, _, total = leg.partition("x")
+            out.append((float(lr), int(total)))
+        return out
+    return []
+
+
 def _parity_overrides(cfg, hidden):
     """Production widths + parity semantics; regularization rates scaled
     down for a small synthetic corpus (the reference's 0.5-0.6 rates are
@@ -281,10 +306,14 @@ def _run_fusion(root):
         fit(build_model(cfg), ds, workdir=workdir, resume=True,
             epochs=pretrain_epochs, checkpoint_every=100,
             monitor="train", sync_every=SYNC)
-        if pretrain_lr2 > 0 and pretrain_epochs2 > 0:
-            cfg2 = cfg.replace(optimizer=_opt(pretrain_lr2))
+        ladder = _pretrain_ladder(name) or (
+            [(pretrain_lr2, pretrain_epochs + pretrain_epochs2)]
+            if pretrain_lr2 > 0 and pretrain_epochs2 > 0 else []
+        )
+        for leg_lr, leg_total in ladder:
+            cfg2 = cfg.replace(optimizer=_opt(leg_lr))
             fit(build_model(cfg2), ds, workdir=workdir, resume=True,
-                epochs=pretrain_epochs + pretrain_epochs2,
+                epochs=leg_total,
                 checkpoint_every=100, monitor="train", sync_every=SYNC)
         # Gate the graft on measured encoder quality: a fusion head on
         # frozen garbage features cannot converge, so prove the inputs.
@@ -295,6 +324,23 @@ def _run_fusion(root):
         acc = evaluate_accuracy(enc_model, enc_params, ds,
                                 train_split=True)
         encoder_quality[name] = round(acc["accuracy"], 4)
+
+    # MGR_TPU_CONV_REQUIRE_ENC: abort BEFORE spending fusion-stage chip
+    # time when a pretrained encoder is below this decoded-accuracy
+    # floor — a frozen-feature head on garbage features cannot converge
+    # (round-4 fusion_leg1: skeletal encoder 0.1386 -> fusion 0.0 after
+    # 3000 epochs; the 20 chip-minutes were known-wasted at graft time).
+    require_enc = float(
+        os.environ.get("MGR_TPU_CONV_REQUIRE_ENC", "0") or 0
+    )
+    if require_enc and min(encoder_quality.values()) < require_enc:
+        print(json.dumps({
+            "metric": "tpu_production_path_convergence",
+            "aborted": "encoder_below_floor",
+            "require_enc": require_enc,
+            "encoder_train_accuracy": encoder_quality,
+        }))
+        sys.exit(3)
 
     lf = cfglib.get_preset("late_fusion")
     lf_cfg = lf.replace(

@@ -66,13 +66,17 @@ _CONV_TOY = {
 
 def test_convergence_check_late_fusion_smoke():
     """Full fusion chain incl. the LR-anneal leg and the idempotent
-    resume=True pretrains (the round-3 headline path)."""
+    resume=True pretrains (the round-3 headline path). Speech uses the
+    single-leg _PRETRAIN_LR2/_EPOCHS2 fallback while skeletal takes the
+    round-4 multi-leg LADDER — both anneal paths in one run."""
     r = _run("tpu_convergence_check.py", {
         **_CONV_TOY,
         "MGR_TPU_CONV_ONLY": "late_fusion",
         "MGR_TPU_CONV_PRETRAIN": "2",
         "MGR_TPU_CONV_PRETRAIN_LR2": "1e-3",
         "MGR_TPU_CONV_PRETRAIN_EPOCHS2": "1",
+        "MGR_TPU_CONV_PRETRAIN_LADDER": "skeletal:1e-3x3+5e-4x4",
+        "MGR_TPU_CONV_PRETRAIN_BLANK_BIAS": "skeletal:-3",
         "MGR_TPU_CONV_FUSION_FPL": "4",
         "MGR_TPU_CONV_FUSION_LABELS": "3",
         "MGR_TPU_CONV_LR2": "1e-3",
@@ -90,6 +94,26 @@ def test_convergence_check_late_fusion_smoke():
     assert lf["anneal_epochs"] == 1
     assert set(lf["encoder_train_accuracy"]) == {"speech", "skeletal"}
     assert "train_accuracy_no_threshold" in lf
+
+
+def test_convergence_check_encoder_gate(tmp_path):
+    """MGR_TPU_CONV_REQUIRE_ENC aborts before the fusion stage when a
+    pretrained encoder decodes below the floor (round-4 fusion_leg1:
+    a 0.1386 skeletal encoder burned 20 chip-minutes on a head that
+    could not converge). An impossible floor must trip the gate."""
+    r = _run("tpu_convergence_check.py", {
+        **_CONV_TOY,
+        "MGR_TPU_CONV_ONLY": "late_fusion",
+        "MGR_TPU_CONV_PRETRAIN": "2",
+        "MGR_TPU_CONV_FUSION_FPL": "4",
+        "MGR_TPU_CONV_FUSION_LABELS": "3",
+        "MGR_TPU_CONV_REQUIRE_ENC": "1.1",
+        "MGR_TPU_CONV_ROOT": str(tmp_path),
+    })
+    assert r.returncode == 3, (r.returncode, r.stderr[-2000:])
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["aborted"] == "encoder_below_floor"
+    assert set(out["encoder_train_accuracy"]) == {"speech", "skeletal"}
 
 
 def test_convergence_check_rgb_smoke():
