@@ -394,10 +394,18 @@ def _run_fusion(root):
     # around loss ~4.5 once the head is out of the blank basin.
     lr2 = float(os.environ.get("MGR_TPU_CONV_LR2", "0") or 0)
     epochs2 = int(os.environ.get("MGR_TPU_CONV_EPOCHS2", "0") or 0)
+    # MGR_TPU_CONV_FINETUNE=1: the anneal leg runs with UNFROZEN
+    # encoders (PipelineConfig.finetune_encoders, a framework extension
+    # — the reference always freezes). Intended as the final leg after
+    # the frozen-head stage: every trainable stack at this geometry
+    # converges (speech/skeletal/early_fusion/rgb rows), while the
+    # frozen big-batch head stalls at the blank floor (legs 3-4).
+    finetune = os.environ.get("MGR_TPU_CONV_FINETUNE") == "1"
     if lr2 > 0 and epochs2 > 0:
         from mgr_tpu.models import build_model as _bm
 
-        lf_cfg2 = lf_cfg.replace(optimizer=_opt(lr2))
+        lf_cfg2 = lf_cfg.replace(optimizer=_opt(lr2),
+                                 finetune_encoders=finetune)
         model = _bm(lf_cfg2,
                     source_configs={"speech": sp_cfg, "skeletal": sk_cfg})
         res = fit(model, fusion_ds, workdir=workdir, resume=True,
@@ -428,6 +436,7 @@ def _run_fusion(root):
         "encoder_train_accuracy": encoder_quality,
         "epochs": EPOCHS,
         "anneal_epochs": epochs2 if (lr2 > 0 and epochs2 > 0) else 0,
+        "finetune_encoders": finetune,
         "pretrain_epochs": pretrain_epochs,
         "wall_s": round(wall, 1),
         "best_train_loss": round(res.best_val_loss, 3),

@@ -160,6 +160,12 @@ class PipelineConfig:
     # (measured round 3: fusion head held at blank 0.995/frame with
     # spread label mass for 15k+ steps).
     head_blank_bias: float = 0.0
+    # Late fusion: unfreeze the grafted encoders (end-to-end fine-tune).
+    # The reference NEVER unfreezes (multimodal.py:33-55 keeps the
+    # pretrained Bidirectional layers non-trainable), so False is the
+    # parity default; True is a framework extension for a final
+    # fine-tune leg after the frozen-head stage (PARITY.md).
+    finetune_encoders: bool = False
     fusion_hidden: int = 100  # trainable fusion BLSTM width (multimodal.py:159-168)
     # Fusion-stage regularization; defaults are the reference's
     # (multimodal.py:164 dropout=0.5, :171-173 Dropout(0.5)).

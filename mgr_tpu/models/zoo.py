@@ -271,9 +271,13 @@ def _build_late_fusion(
         )
 
     def trainable(params: Params) -> Params:
+        # cfg.finetune_encoders=True unfreezes the grafted encoders for
+        # an end-to-end fine-tune leg (framework extension; the
+        # reference always freezes, multimodal.py:33-55).
+        enc = bool(cfg.finetune_encoders)
         return {
-            "speech": jax.tree.map(lambda _: False, params["speech"]),
-            "skeletal": jax.tree.map(lambda _: False, params["skeletal"]),
+            "speech": jax.tree.map(lambda _: enc, params["speech"]),
+            "skeletal": jax.tree.map(lambda _: enc, params["skeletal"]),
             "fusion": jax.tree.map(lambda _: True, params["fusion"]),
             "head": jax.tree.map(lambda _: True, params["head"]),
         }

@@ -137,6 +137,38 @@ def test_late_fusion_shapes_and_freeze_mask():
     )
 
 
+def test_late_fusion_finetune_unfreezes_encoders():
+    """finetune_encoders=True flips the encoder freeze mask (framework
+    extension; the reference always freezes, multimodal.py:33-55) and a
+    train step then actually moves encoder params."""
+    sp = _tiny("speech", num_feats=5)
+    sk = _tiny("skeletal", num_feats=4)
+    cfg = _tiny("late_fusion", num_feats=5, second_stream_feats=4,
+                nb_classes=6, fusion_hidden=4, finetune_encoders=True)
+    model = build_model(cfg, source_configs={"speech": sp, "skeletal": sk})
+    params = model.init(jax.random.key(0))
+    mask = model.trainable(params)
+    assert all(v is True for v in jax.tree.leaves(mask))
+
+    from mgr_tpu.train.step import create_train_state, make_train_step
+
+    state = create_train_state(model, jax.random.key(1))
+    step = make_train_step(model)
+    batch = {
+        "inputs": jax.random.normal(jax.random.key(2), (2, cfg.maxlen, 5)),
+        "inputs2": jax.random.normal(jax.random.key(3), (2, cfg.maxlen, 4)),
+        "labels": jnp.array([[1, 2], [3, 4]], dtype=jnp.int32),
+        "input_length": jnp.full((2,), cfg.maxlen, jnp.int32),
+        "label_length": jnp.full((2,), 2, jnp.int32),
+    }
+    before = jax.tree.map(jnp.copy, state.params["speech"])
+    state2, _ = step(state, batch, jax.random.key(4), 1.0)
+    moved = jax.tree.map(
+        lambda a, b: bool(jnp.any(a != b)), before, state2.params["speech"]
+    )
+    assert any(jax.tree.leaves(moved)), "encoder params did not move"
+
+
 def test_jit_apply():
     cfg = _tiny("speech", num_feats=5, nb_classes=7)
     model = build_model(cfg)
