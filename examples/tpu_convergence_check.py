@@ -343,8 +343,17 @@ def _run_fusion(root):
         sys.exit(3)
 
     lf = cfglib.get_preset("late_fusion")
+    # MGR_TPU_CONV_FUSION_BATCH: batch size for the FUSION stage only
+    # (pretrains keep MGR_TPU_CONV_BATCH so their resume geometry is
+    # stable). The reference trains this stage at batch 2
+    # (multimodal.py:213) — small-batch gradient noise is part of its
+    # convergence recipe, which the big-batch escape-LR recipe did not
+    # replicate (legs 3-4 stalled at the blank floor at B=32).
+    fusion_batch = int(
+        os.environ.get("MGR_TPU_CONV_FUSION_BATCH", "0") or BATCH
+    )
     lf_cfg = lf.replace(
-        maxlen=MAXLEN, batch_size=BATCH,
+        maxlen=MAXLEN, batch_size=fusion_batch,
         fusion_hidden=_scaled(lf.fusion_hidden),
         encoder=dataclasses.replace(
             lf.encoder, input_noise=0.05, output_dropout=0.02,

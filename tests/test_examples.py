@@ -81,6 +81,11 @@ def test_convergence_check_late_fusion_smoke():
         "MGR_TPU_CONV_FUSION_LABELS": "3",
         "MGR_TPU_CONV_LR2": "1e-3",
         "MGR_TPU_CONV_EPOCHS2": "1",
+        # Round-4d knobs: the anneal leg fine-tunes the encoders
+        # end-to-end, and the fusion stage runs at its own batch size
+        # (the reference trains it at batch 2, multimodal.py:213).
+        "MGR_TPU_CONV_FINETUNE": "1",
+        "MGR_TPU_CONV_FUSION_BATCH": "3",
         # The measured dense-corpus recipe: non-finite guard +
         # self-annealing plateau schedule in every stage.
         "MGR_TPU_CONV_GUARD": "1",
@@ -92,6 +97,7 @@ def test_convergence_check_late_fusion_smoke():
     out = json.loads(r.stdout.strip().splitlines()[-1])
     lf = out["late_fusion"]
     assert lf["anneal_epochs"] == 1
+    assert lf["finetune_encoders"] is True
     assert set(lf["encoder_train_accuracy"]) == {"speech", "skeletal"}
     assert "train_accuracy_no_threshold" in lf
 
@@ -168,9 +174,13 @@ def test_curriculum_bench_measured_smoke():
         # Exercise the chunked wall-clock-to-accuracy path: chunk size
         # 1 epoch, target 0 (met by the first probe) for speech, no
         # target for the others.
-        "MGR_TPU_CB_ACC_TARGET": "speech:0.0",
+        "MGR_TPU_CB_ACC_TARGET": "speech:0.0,late_fusion:2.0",
         "MGR_TPU_CB_ACC_EVERY": "1",
         "MGR_TPU_CB_BLANK_BIAS": "-3",
+        # Impossible late_fusion target (2.0) forces the finetune
+        # continuation: 1 extra epoch with unfrozen encoders at 3e-4
+        # (exercises the mid-stage model rebuild + resume).
+        "MGR_TPU_CB_FINETUNE_EPOCHS": "1",
     })
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
@@ -180,3 +190,7 @@ def test_curriculum_bench_measured_smoke():
         assert "train_accuracy" in stage and "epochs_run" in stage
     assert out["stages"]["speech"]["reached_accuracy_target"] is True
     assert out["stages"]["speech"]["epochs_run"] == 1  # stopped at probe
+    lf = out["stages"]["late_fusion"]
+    assert lf["reached_accuracy_target"] is False
+    assert lf["finetune_epochs"] == 1
+    assert lf["epochs_run"] == 3  # 2 frozen + 1 finetune
