@@ -350,7 +350,7 @@ def _run_fusion(root):
     # convergence recipe, which the big-batch escape-LR recipe did not
     # replicate (legs 3-4 stalled at the blank floor at B=32).
     fusion_batch = int(
-        os.environ.get("MGR_TPU_CONV_FUSION_BATCH", "0") or BATCH
+        os.environ.get("MGR_TPU_CONV_FUSION_BATCH", "") or BATCH
     )
     lf_cfg = lf.replace(
         maxlen=MAXLEN, batch_size=fusion_batch,

@@ -102,6 +102,24 @@ def test_convergence_check_late_fusion_smoke():
     assert "train_accuracy_no_threshold" in lf
 
 
+def test_convergence_check_fusion_default_batch(tmp_path):
+    """The fusion stage must run when MGR_TPU_CONV_FUSION_BATCH is
+    UNSET (regression: a truthy-\"0\" default parsed to batch_size=0 and
+    crashed the batcher — the round-4d fusion_ft chip stage died on
+    it while every smoke set the knob explicitly)."""
+    r = _run("tpu_convergence_check.py", {
+        **_CONV_TOY,
+        "MGR_TPU_CONV_ONLY": "late_fusion",
+        "MGR_TPU_CONV_PRETRAIN": "2",
+        "MGR_TPU_CONV_FUSION_FPL": "4",
+        "MGR_TPU_CONV_FUSION_LABELS": "3",
+        "MGR_TPU_CONV_ROOT": str(tmp_path),
+    })
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "train_accuracy" in out["late_fusion"]
+
+
 def test_convergence_check_encoder_gate(tmp_path):
     """MGR_TPU_CONV_REQUIRE_ENC aborts before the fusion stage when a
     pretrained encoder decodes below the floor (round-4 fusion_leg1:
