@@ -27,6 +27,16 @@ reported is the MEDIAN repeat, with the min/max spread so regressions
 are distinguishable from relay jitter (VERDICT r1 item 10). The decode
 benchmark times the fused predict+best-path step (make_decode_step, at
 the pipeline's reference threshold) the same way.
+
+Deadline contract (VERDICT r4 item 2): this script must print ONE
+parseable JSON line within the caller's budget even when the relay is
+wedged. Every successful measurement is cached to .bench_last_good.json;
+when the relay cannot be reached (canary exhaustion, lock timeout, or a
+mid-measurement backend failure) before MGR_TPU_BENCH_DEADLINE seconds
+(default 2400) elapse, the cached line is re-emitted with
+{"stale": true, "stale_reason": ...} and exit code 0 — a flagged
+last-known-good number instead of a missing artifact. Cooldown sleeps
+are sized to never overshoot the deadline.
 """
 
 from __future__ import annotations
@@ -52,9 +62,57 @@ REPEATS = 3
 # can wedge for ~20-40 min under load; a canary + bounded cooldown-retry
 # turns a transient wedge into a delayed measurement instead of rc=1.
 CANARY_TIMEOUT_S = float(os.environ.get("MGR_TPU_BENCH_CANARY_TIMEOUT", "150"))
-COOLDOWN_S = float(os.environ.get("MGR_TPU_BENCH_COOLDOWN", "1500"))
+COOLDOWN_S = float(os.environ.get("MGR_TPU_BENCH_COOLDOWN", "1200"))
 CANARY_RETRIES = int(os.environ.get("MGR_TPU_BENCH_RETRIES", "3"))
 LOCK_WAIT_S = float(os.environ.get("MGR_TPU_BENCH_LOCK_WAIT", "3600"))
+
+# Hard wall-clock budget for the WHOLE script (driver contract: one JSON
+# line before the driver's timeout — BENCH_r04 was lost to rc=124 when
+# canary cooldowns alone slept ~50 min). All waits are clipped so that
+# at least MEASURE_MARGIN_S remains for the actual measurement; once the
+# budget cannot fit a measurement, the cached last-good line is emitted.
+DEADLINE_S = float(os.environ.get("MGR_TPU_BENCH_DEADLINE", "2400"))
+MEASURE_MARGIN_S = 420.0
+_START = time.monotonic()
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_last_good.json")
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _START)
+
+
+def _save_last_good(payload: dict) -> None:
+    try:
+        tmp = LAST_GOOD_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, LAST_GOOD_PATH)
+    except OSError:
+        pass  # caching is best-effort; the live line already printed
+
+
+def _emit_stale(reason: str) -> "SystemExit":
+    """Print the cached last-good measurement flagged stale and exit 0.
+
+    A perf artifact that can silently not exist is worse than a stale
+    number (VERDICT r4): the driver always gets one parseable JSON line.
+    """
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            payload = json.load(f)
+    except (OSError, ValueError):
+        payload = {
+            "metric": "train_seqs_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "seq/s",
+            "vs_baseline": 0.0,
+            "pipeline": "speech",
+        }
+    payload["stale"] = True
+    payload["stale_reason"] = reason[:300]
+    print(json.dumps(payload))
+    return SystemExit(0)
 
 _CANARY_SRC = (
     "import jax, jax.numpy as jnp;"
@@ -80,20 +138,23 @@ def _await_relay() -> None:
 
     from mgr_tpu.core import campaign
 
-    if not campaign.wait_free(timeout_s=LOCK_WAIT_S):
+    lock_wait = min(LOCK_WAIT_S, max(_remaining() - MEASURE_MARGIN_S, 0.0))
+    if not campaign.wait_free(timeout_s=lock_wait):
         rec = campaign.holder()
-        print(
-            f"bench: chip lock still held after {LOCK_WAIT_S:.0f}s: {rec}",
-            file=sys.stderr,
-        )
-        raise SystemExit(1)
+        raise _emit_stale(
+            f"chip lock still held after {lock_wait:.0f}s: {rec}")
 
     last = ""
     for attempt in range(CANARY_RETRIES):
+        if _remaining() < MEASURE_MARGIN_S:
+            raise _emit_stale(
+                f"deadline ({DEADLINE_S:.0f}s) reached while gating: {last}")
         try:
             r = subprocess.run(
                 [sys.executable, "-c", _CANARY_SRC],
-                capture_output=True, text=True, timeout=CANARY_TIMEOUT_S,
+                capture_output=True, text=True,
+                timeout=min(CANARY_TIMEOUT_S,
+                            max(_remaining() - MEASURE_MARGIN_S, 30.0)),
             )
             if r.returncode == 0:
                 return
@@ -101,16 +162,23 @@ def _await_relay() -> None:
         except subprocess.TimeoutExpired:
             last = f"canary hung >{CANARY_TIMEOUT_S:.0f}s (wedged relay)"
         if attempt < CANARY_RETRIES - 1:
+            # Sleep only as long as the deadline allows; a cooldown that
+            # cannot leave room for a measurement is pointless.
+            sleep_s = min(COOLDOWN_S, _remaining() - MEASURE_MARGIN_S
+                          - CANARY_TIMEOUT_S)
+            if sleep_s <= 0:
+                raise _emit_stale(
+                    f"deadline ({DEADLINE_S:.0f}s) reached while "
+                    f"cooling down: {last}")
             print(
                 f"bench: canary failed ({last}); cooling down "
-                f"{COOLDOWN_S:.0f}s before retry "
+                f"{sleep_s:.0f}s before retry "
                 f"{attempt + 2}/{CANARY_RETRIES}",
                 file=sys.stderr,
             )
-            time.sleep(COOLDOWN_S)
-    print(f"bench: relay unreachable after {CANARY_RETRIES} canary "
-          f"attempts: {last}", file=sys.stderr)
-    raise SystemExit(1)
+            time.sleep(sleep_s)
+    raise _emit_stale(
+        f"relay unreachable after {CANARY_RETRIES} canary attempts: {last}")
 
 # Per-pipeline defaults: single-chip HBM-cap batch (BASELINE.md) and the
 # reference decode threshold (decode/decoder.py::DECODE_SPECS).
@@ -284,56 +352,66 @@ def main() -> None:
     model = build_model(cfg)
     n_chips = max(len(jax.devices()), 1)
 
-    if args.latency:
-        params = create_train_state(model, prng.root_key(cfg.seed)).params
-        times = _bench_latency(cfg, model, params, spec["threshold"])
-        med = statistics.median(times)
-        # Reference implied decode latency: ~2 seq/s on the GTX 1060
-        # (BASELINE.md) -> ~500 ms/utterance.
-        print(json.dumps({
-            "metric": "decode_latency_ms",
-            "value": round(med, 2),
-            "unit": "ms",
-            "vs_baseline": round(500.0 / med, 2),
-            "spread": {"min": round(times[0], 2),
-                       "max": round(times[-1], 2),
-                       "calls": len(times)},
-            "pipeline": args.pipeline,
-            "batch": 1,
-        }))
-        return
+    try:
+        if args.latency:
+            params = create_train_state(
+                model, prng.root_key(cfg.seed)).params
+            times = _bench_latency(cfg, model, params, spec["threshold"])
+            med = statistics.median(times)
+            # Reference implied decode latency: ~2 seq/s on the GTX 1060
+            # (BASELINE.md) -> ~500 ms/utterance.
+            print(json.dumps({
+                "metric": "decode_latency_ms",
+                "value": round(med, 2),
+                "unit": "ms",
+                "vs_baseline": round(500.0 / med, 2),
+                "spread": {"min": round(times[0], 2),
+                           "max": round(times[-1], 2),
+                           "calls": len(times)},
+                "pipeline": args.pipeline,
+                "batch": 1,
+            }))
+            return
 
-    train_rates = sorted(r / n_chips for r in _bench_train(cfg, model, B))
-    params = create_train_state(model, prng.root_key(cfg.seed)).params
-    decode_rates = sorted(
-        r / n_chips
-        for r in _bench_decode(cfg, model, params, B, spec["threshold"])
-    )
+        train_rates = sorted(
+            r / n_chips for r in _bench_train(cfg, model, B))
+        params = create_train_state(model, prng.root_key(cfg.seed)).params
+        decode_rates = sorted(
+            r / n_chips
+            for r in _bench_decode(cfg, model, params, B, spec["threshold"])
+        )
+    except Exception as e:  # noqa: BLE001 — relay/backend failure mid-run
+        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            raise  # CPU smokes must surface real bugs, not mask them
+        raise _emit_stale(
+            f"measurement failed: {type(e).__name__}: {e}") from None
 
     value = statistics.median(train_rates)
     dec_value = statistics.median(decode_rates)
-    print(
-        json.dumps(
-            {
-                "metric": "train_seqs_per_sec_per_chip",
-                "value": round(value, 3),
-                "unit": "seq/s",
-                "vs_baseline": round(value / REFERENCE_SEQS_PER_SEC, 2),
-                "spread": {
-                    "min": round(train_rates[0], 3),
-                    "max": round(train_rates[-1], 3),
-                    "repeats": REPEATS,
-                },
-                "decode_seqs_per_sec_per_chip": round(dec_value, 3),
-                "decode_spread": {
-                    "min": round(decode_rates[0], 3),
-                    "max": round(decode_rates[-1], 3),
-                },
-                "pipeline": args.pipeline,
-                "batch": B,
-            }
-        )
-    )
+    payload = {
+        "metric": "train_seqs_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "seq/s",
+        "vs_baseline": round(value / REFERENCE_SEQS_PER_SEC, 2),
+        "spread": {
+            "min": round(train_rates[0], 3),
+            "max": round(train_rates[-1], 3),
+            "repeats": REPEATS,
+        },
+        "decode_seqs_per_sec_per_chip": round(dec_value, 3),
+        "decode_spread": {
+            "min": round(decode_rates[0], 3),
+            "max": round(decode_rates[-1], 3),
+        },
+        "pipeline": args.pipeline,
+        "batch": B,
+    }
+    # Cache only the driver-contract configuration (default pipeline on
+    # the real chip) — a stale fallback must represent the same metric.
+    if (args.pipeline == "speech" and not args.batch and not args.maxlen
+            and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+        _save_last_good(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
