@@ -181,8 +181,12 @@ def _make_batcher(cfg, *, n_labels: int, seed: int) -> Batcher:
     )
 
 
-def _bench_stage(cfg, data, workdir, *, resume=False):
-    model = build_model(cfg)
+def _bench_stage(cfg, data, workdir, *, resume=False, source_configs=None):
+    # source_configs: the SCALED speech/skeletal stage configs used at
+    # graft time — without them build_model falls back to the full-size
+    # presets, so the grafted encoders would run under reference-scale
+    # dropout (0.4/0.5) instead of the measured-mode 0.02 (ADVICE r4).
+    model = build_model(cfg, source_configs=source_configs)
     t0 = time.time()
     # checkpoint_every: per-epoch ~100 MB serialization would be a cost
     # the steady-state epoch timing does not see (ADVICE r2) — throttle
@@ -227,6 +231,11 @@ def _bench_stage(cfg, data, workdir, *, resume=False):
                                 train_split=True)["accuracy"]
                 if acc_probe >= acc_target:
                     break
+            if res is None:
+                # Zero chunks ran (until <= start: e.g. a restarted
+                # queue whose checkpoint is already at/past EPOCHS) —
+                # fall back to one fit so result/history always exist.
+                res = _fit(until, resume_now)
             return res
 
         result = _acc_chunks(0, EPOCHS, resume)
@@ -243,7 +252,7 @@ def _bench_stage(cfg, data, workdir, *, resume=False):
                 optimizer=_dc.replace(cfg.optimizer,
                                       learning_rate=FT_LR),
             )
-            model = build_model(cfg_ft)
+            model = build_model(cfg_ft, source_configs=source_configs)
             epochs_before = int(result.state.step) // max(
                 data.num_batches(cfg.batch_size, train=True), 1
             )
@@ -255,10 +264,11 @@ def _bench_stage(cfg, data, workdir, *, resume=False):
     wall = time.time() - t0
     steady = result.history[2:] or result.history
     # At sync_every>1 each record covers a window; amortize its wall
-    # over the epochs it contains.
+    # over the epochs it contains. An immediate-return resume (already
+    # at the epoch target) has no history — report 0 rather than crash.
     epoch_s = statistics.median(
         rec["wall_s"] / rec.get("epochs_in_record", 1) for rec in steady
-    )
+    ) if steady else 0.0
     out = {
         "epoch_s": round(epoch_s, 3),
         "as_run_s": round(wall, 1),
@@ -385,9 +395,9 @@ def main() -> None:
                 )
                 from mgr_tpu.train.step import create_train_state
 
+                srcs = {k: stages[k] for k in ("speech", "skeletal")}
                 fusion_model, grafted = build_fusion_with_pretrained(
-                    workdir, cfg,
-                    {k: stages[k] for k in ("speech", "skeletal")},
+                    workdir, cfg, srcs,
                 )
                 state = create_train_state(
                     fusion_model, prng.root_key(cfg.seed)
@@ -395,7 +405,8 @@ def main() -> None:
                 state = state._replace(params=grafted)
                 ckpt_lib.save_checkpoint(workdir, cfg.name, state,
                                          slot="latest")
-                out[name] = _bench_stage(cfg, data, workdir, resume=True)
+                out[name] = _bench_stage(cfg, data, workdir, resume=True,
+                                         source_configs=srcs)
             else:
                 out[name] = _bench_stage(cfg, data, workdir)
 

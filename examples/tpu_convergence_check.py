@@ -146,10 +146,31 @@ def _pretrain_ladder(stage: str) -> list:
         name, _, legs = part.partition(":")
         if name.strip() != stage or not legs:
             continue
+        # Validate eagerly: a malformed leg must fail AT STARTUP with a
+        # named culprit, not crash hours into a chip queue on int('')
+        # (ADVICE r4). Descending totals would silently no-op legs.
         out = []
         for leg in legs.split("+"):
-            lr, _, total = leg.partition("x")
-            out.append((float(lr), int(total)))
+            lr, sep, total = leg.partition("x")
+            if not sep or not lr.strip() or not total.strip():
+                raise SystemExit(
+                    f"MGR_TPU_CONV_PRETRAIN_LADDER: leg '{leg}' of stage "
+                    f"'{stage}' is not LRxTOTAL (e.g. '1e-4x8000')"
+                )
+            try:
+                out.append((float(lr), int(total)))
+            except ValueError as e:
+                raise SystemExit(
+                    f"MGR_TPU_CONV_PRETRAIN_LADDER: leg '{leg}' of stage "
+                    f"'{stage}': {e}"
+                ) from None
+        totals = [t for _, t in out]
+        if totals != sorted(totals):
+            raise SystemExit(
+                f"MGR_TPU_CONV_PRETRAIN_LADDER: stage '{stage}' totals "
+                f"{totals} must be ascending (cumulative epoch targets; "
+                f"a descending leg silently no-ops)"
+            )
         return out
     return []
 
@@ -352,6 +373,11 @@ def _run_fusion(root):
     fusion_batch = int(
         os.environ.get("MGR_TPU_CONV_FUSION_BATCH", "") or BATCH
     )
+    if fusion_batch <= 0:
+        # An explicit "0" is truthy as a string but crashes the batcher
+        # (same class as the round-4d truthy-"0" default bug) — fall
+        # back to the corpus batch size.
+        fusion_batch = BATCH
     lf_cfg = lf.replace(
         maxlen=MAXLEN, batch_size=fusion_batch,
         fusion_hidden=_scaled(lf.fusion_hidden),
@@ -445,7 +471,10 @@ def _run_fusion(root):
         "encoder_train_accuracy": encoder_quality,
         "epochs": EPOCHS,
         "anneal_epochs": epochs2 if (lr2 > 0 and epochs2 > 0) else 0,
-        "finetune_encoders": finetune,
+        # Report what actually RAN: with MGR_TPU_CONV_FINETUNE=1 but no
+        # anneal leg configured, no finetuning happened (ADVICE r4 —
+        # campaign harvests grep these JSON lines).
+        "finetune_encoders": bool(finetune and lr2 > 0 and epochs2 > 0),
         "pretrain_epochs": pretrain_epochs,
         "wall_s": round(wall, 1),
         "best_train_loss": round(res.best_val_loss, 3),
