@@ -61,7 +61,10 @@ REPEATS = 3
 # Relay-resilience knobs (VERDICT r3 item 2): the remote-attached chip
 # can wedge for ~20-40 min under load; a canary + bounded cooldown-retry
 # turns a transient wedge into a delayed measurement instead of rc=1.
-CANARY_TIMEOUT_S = float(os.environ.get("MGR_TPU_BENCH_CANARY_TIMEOUT", "150"))
+# 210 s default: a recovering relay served a canary in >120 s but
+# <240 s (measured round 5, 19:07-19:10Z) — 150 s declared it wedged
+# and benched stale while a 240 s-gated campaign started fine.
+CANARY_TIMEOUT_S = float(os.environ.get("MGR_TPU_BENCH_CANARY_TIMEOUT", "210"))
 COOLDOWN_S = float(os.environ.get("MGR_TPU_BENCH_COOLDOWN", "1200"))
 CANARY_RETRIES = int(os.environ.get("MGR_TPU_BENCH_RETRIES", "3"))
 LOCK_WAIT_S = float(os.environ.get("MGR_TPU_BENCH_LOCK_WAIT", "3600"))
