@@ -17,6 +17,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
@@ -53,6 +55,7 @@ def test_stale_fallback_under_dead_backend(tmp_path):
     assert out["value"] > 0
 
 
+@pytest.mark.slow  # full bench subprocess, ~80 s
 def test_cpu_smoke_live_line(tmp_path):
     """The live path prints one unflagged JSON line on the CPU backend
     (toy geometry; CPU runs skip the relay gate and never write the

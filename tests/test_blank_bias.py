@@ -26,6 +26,8 @@ import pytest
 
 from mgr_tpu.ops.ctc import ctc_loss_from_logits
 
+pytestmark = pytest.mark.slow  # 100-300-epoch CTC head training
+
 K = 12    # classes incl. blank (= K-1, data_generator.py:42 convention)
 F = 16    # frozen feature dim
 B = 16

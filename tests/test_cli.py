@@ -360,6 +360,7 @@ def test_train_early_fusion_cli(corpus, tmp_path, capsys, monkeypatch):
     assert os.path.exists(os.path.join(workdir, "early_fusion_best.msgpack"))
 
 
+@pytest.mark.slow  # 3-stage curriculum end-to-end, ~55 s
 def test_curriculum_cli(corpus, tmp_path, capsys, monkeypatch):
     """CLI `curriculum`: the full 3-stage schedule (speech -> skeletal
     -> frozen-encoder fusion) from one command, on synthetic corpora

@@ -49,6 +49,7 @@ def configs():
     return {"speech": sp, "skeletal": sk, "late_fusion": lf}
 
 
+@pytest.mark.slow  # full curriculum + decode, ~75 s
 def test_full_curriculum_and_decode(corpus, configs, tmp_path):
     workdir = str(tmp_path)
     sp, sk, lf = (configs[k] for k in ("speech", "skeletal", "late_fusion"))

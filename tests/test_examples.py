@@ -8,6 +8,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # fresh-subprocess smokes, 1-5 min each
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -19,10 +19,12 @@ def test_entry_shapes():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow  # ~90 s; the driver runs dryrun directly each round
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # ~90 s; the driver runs dryrun directly each round
 def test_dryrun_multichip_2():
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
