@@ -117,6 +117,14 @@ FT_LR = float(os.environ.get("MGR_TPU_CB_FINETUNE_LR", "3e-4"))
 # heads, PARITY.md opt-in knobs): "-3" applies to the late_fusion stage
 # only; "skeletal:-3,late_fusion:-3" tables name stages explicitly.
 _BLANK_BIAS = os.environ.get("MGR_TPU_CB_BLANK_BIAS", "")
+# MGR_TPU_CB_WORKDIR: persistent checkpoint dir — a relay crash mid-run
+# (the round-4d curriculum stage died on a FAILED_PRECONDITION hours in)
+# can then RESUME on relaunch instead of restarting: completed stages
+# return immediately (fit derives start_epoch from the checkpointed
+# step) and the in-flight stage continues from its `latest` slot. The
+# corpora are in-memory and seed-deterministic, so a restart sees
+# identical data. Default: a throwaway tempdir (prior behavior).
+WORKDIR = os.environ.get("MGR_TPU_CB_WORKDIR", "")
 
 
 def _parse_stage_table(raw: str, stage: str):
@@ -382,13 +390,21 @@ def main() -> None:
     label_counts = {"speech": 20, "skeletal": 10, "late_fusion": 10}
 
     out = {}
-    with tempfile.TemporaryDirectory() as workdir:
+    import contextlib
+
+    if WORKDIR:
+        os.makedirs(WORKDIR, exist_ok=True)
+        ctx = contextlib.nullcontext(WORKDIR)
+    else:
+        ctx = tempfile.TemporaryDirectory()
+    with ctx as workdir:
+        from mgr_tpu.core import checkpoint as ckpt_lib
+
         for i, (name, cfg) in enumerate(stages.items()):
             data = _make_batcher(cfg, n_labels=label_counts[name], seed=i)
             if name == "late_fusion":
                 # Graft the just-trained encoders exactly as the
                 # curriculum does (train/curriculum.py::run_curriculum).
-                from mgr_tpu.core import checkpoint as ckpt_lib
                 from mgr_tpu.core import prng
                 from mgr_tpu.train.curriculum import (
                     build_fusion_with_pretrained,
@@ -396,19 +412,27 @@ def main() -> None:
                 from mgr_tpu.train.step import create_train_state
 
                 srcs = {k: stages[k] for k in ("speech", "skeletal")}
-                fusion_model, grafted = build_fusion_with_pretrained(
-                    workdir, cfg, srcs,
-                )
-                state = create_train_state(
-                    fusion_model, prng.root_key(cfg.seed)
-                )
-                state = state._replace(params=grafted)
-                ckpt_lib.save_checkpoint(workdir, cfg.name, state,
-                                         slot="latest")
+                # On a persistent-workdir RELAUNCH, a late_fusion
+                # checkpoint means the graft already happened — seeding
+                # `latest` again would wipe the fusion progress.
+                if not ckpt_lib.has_checkpoint(workdir, cfg.name,
+                                               "latest"):
+                    fusion_model, grafted = build_fusion_with_pretrained(
+                        workdir, cfg, srcs,
+                    )
+                    state = create_train_state(
+                        fusion_model, prng.root_key(cfg.seed)
+                    )
+                    state = state._replace(params=grafted)
+                    ckpt_lib.save_checkpoint(workdir, cfg.name, state,
+                                             slot="latest")
                 out[name] = _bench_stage(cfg, data, workdir, resume=True,
                                          source_configs=srcs)
             else:
-                out[name] = _bench_stage(cfg, data, workdir)
+                # fit(resume=True) is a no-op without a checkpoint, so
+                # resuming is safe whenever the workdir persists.
+                out[name] = _bench_stage(cfg, data, workdir,
+                                         resume=bool(WORKDIR))
 
     total_projected = sum(s["projected_500ep_s"] for s in out.values())
     result = {
@@ -418,9 +442,12 @@ def main() -> None:
         "projected_500ep_total_s": round(total_projected, 1),
         "projected_500ep_total_min": round(total_projected / 60.0, 1),
         "reference_hours": REF_TOTAL_HOURS,
+        # A fully-resumed relaunch (every stage already at its epoch
+        # target) has no steady-state windows: projected totals are 0
+        # and the speedup is undefined — report null, don't crash.
         "speedup_vs_reference": round(
             REF_TOTAL_HOURS * 3600.0 / total_projected, 1
-        ),
+        ) if total_projected > 0 else None,
     }
     if MEASURED:
         total = sum(s["as_run_s"] for s in out.values())
