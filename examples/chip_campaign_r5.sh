@@ -22,11 +22,14 @@
 #                       multimodal.py:206-213). RESUME=1 is crash-safe:
 #                       no late_fusion ckpt = fresh head; a relay death
 #                       mid-stage continues from `latest`.
-#   3. curriculum_acc — wall-clock-to-accuracy 3-stage curriculum
+#   3. generalization — held-out accuracy rows (VERDICT r4 item 4):
+#                       monitor="val" + EarlyStopping decoding UNSEEN
+#                       files at production geometry.
+#   4. curriculum_acc — wall-clock-to-accuracy 3-stage curriculum
 #                       (VERDICT r4 item 6), requeued from round 4d
 #                       (died rc=1 on a relay FAILED_PRECONDITION)
 #                       now with the source_configs finetune fix.
-#   4. fusion_b2      — exact reference batch (data_generator.py:30):
+#   5. fusion_b2      — exact reference batch (data_generator.py:30):
 #                       B=2, constant 1e-4, 1200 epochs x 80 steps =
 #                       96k steps. Optional tail; safe to kill.
 set -u
@@ -105,6 +108,8 @@ COMMON_ENV=(
 # --- 1. rebuild the pretrain donors (host reset wiped /root/r4) ------
 # exit 3 (abort: encoder below the impossible 1.01 floor) is the
 # EXPECTED success path; retries make relay deaths resume mid-ladder.
+# (A chip-lock collision exits 75 — EX_TEMPFAIL, distinct by design —
+# so rc=3 here always means the REQUIRE_ENC measurement ran.)
 stage pretrains 6 3 -- env "${COMMON_ENV[@]}" \
   MGR_TPU_CONV_WORKDIR="$ART/fusion_wd" \
   MGR_TPU_CONV_REQUIRE_ENC=1.01 \
@@ -129,8 +134,26 @@ stage fusion_b8 6 -- env "${COMMON_ENV[@]}" \
   python examples/tpu_convergence_check.py
 note "fusion_b8 accuracy: $(acc_of "$ART/fusion_b8.log")"
 
-# --- 3. wall-clock-to-accuracy curriculum (VERDICT r4 #6, requeue) ---
+# --- 3. held-out generalization rows (VERDICT r4 #4) -----------------
+# fit(monitor="val") + EarlyStopping selecting a best-val state that
+# decodes UNSEEN files at production geometry — the reference's
+# quality-control loop (speech_lstm_ctc_words.py:167-178). PATIENCE=50
+# val windows (x SYNC 10 = 500 epochs) rides out the CTC blank-basin
+# plateau before the escape.
+stage generalization 3 -- env \
+  MGR_TPU_GEN_ROOT="$ART/root_gen" \
+  MGR_TPU_GEN_FILES=200 MGR_TPU_GEN_EPOCHS=3000 \
+  MGR_TPU_GEN_BATCH=32 MGR_TPU_GEN_SYNC=10 \
+  MGR_TPU_GEN_PATIENCE=50 MGR_TPU_GEN_GUARD=1 \
+  python examples/generalization_check.py
+
+# --- 4. wall-clock-to-accuracy curriculum (VERDICT r4 #6, requeue) ---
+# MGR_TPU_CB_WORKDIR: a relay crash mid-run resumes instead of
+# restarting (the round-4d failure mode). NOTE: the 19:10Z queue
+# instance buffered this script before this line was added and runs
+# the stage in tempdir mode; the knob serves relaunches.
 stage curriculum_acc_r5 2 -- env MGR_TPU_CB_MEASURED=1 MGR_TPU_CB_EPOCHS=3000 \
+  MGR_TPU_CB_WORKDIR="$ART/curriculum_wd" \
   MGR_TPU_CB_ACC_TARGET="speech:0.95,skeletal:0.95,late_fusion:0.9" \
   MGR_TPU_CB_ACC_EVERY=250 \
   MGR_TPU_CB_BLANK_BIAS="skeletal:-3,late_fusion:-3" \
@@ -138,7 +161,7 @@ stage curriculum_acc_r5 2 -- env MGR_TPU_CB_MEASURED=1 MGR_TPU_CB_EPOCHS=3000 \
   MGR_TPU_CB_FINETUNE_EPOCHS=2000 MGR_TPU_CB_FINETUNE_LR=3e-4 \
   python examples/curriculum_bench.py
 
-# --- 4. exact reference batch (optional tail; safe to kill) ----------
+# --- 5. exact reference batch (optional tail; safe to kill) ----------
 if [ ! -d "$ART/fusion_wd_b2" ]; then
   cp -a "$ART/fusion_wd" "$ART/fusion_wd_b2"
   rm -f "$ART/fusion_wd_b2"/late_fusion_*

@@ -128,12 +128,9 @@ WORKDIR = os.environ.get("MGR_TPU_CB_WORKDIR", "")
 
 
 def _parse_stage_table(raw: str, stage: str):
-    if not raw:
-        return None
-    if ":" not in raw:
-        return float(raw)
-    table = dict(kv.split(":") for kv in raw.split(","))
-    return float(table[stage]) if stage in table else None
+    # One shared implementation for the per-stage env grammar
+    # (mgr_tpu.core.config.parse_stage_table; review r5 finding).
+    return cfglib.parse_stage_table(raw, stage)
 
 
 def _target_for(stage: str):
@@ -394,6 +391,26 @@ def main() -> None:
 
     if WORKDIR:
         os.makedirs(WORKDIR, exist_ok=True)
+        # Geometry fingerprint: fit()'s own num_train_batches refusal
+        # misses same-ratio changes (e.g. NTRAIN 400->200 with BATCH
+        # 128->64 keeps batches/epoch equal while the data differs), so
+        # pin the corpus-defining knobs to the workdir explicitly.
+        fp = {"n_train": N_TRAIN, "n_val": N_VAL, "maxlen": MAXLEN,
+              "batch": BATCH, "hidden_scale": HIDDEN_SCALE, "lr": LR}
+        fp_path = os.path.join(WORKDIR, "cb_fingerprint.json")
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                old = json.load(f)
+            if old != fp:
+                raise SystemExit(
+                    f"MGR_TPU_CB_WORKDIR={WORKDIR} was written with "
+                    f"different geometry {old} (this run: {fp}) — "
+                    f"resuming would silently skip or corrupt stages; "
+                    f"relaunch with the original env or a fresh workdir"
+                )
+        else:
+            with open(fp_path, "w") as f:
+                json.dump(fp, f)
         ctx = contextlib.nullcontext(WORKDIR)
     else:
         ctx = tempfile.TemporaryDirectory()

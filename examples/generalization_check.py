@@ -68,6 +68,13 @@ SYNC = int(os.environ.get("MGR_TPU_GEN_SYNC", "10"))
 # EarlyStopping(patience=20) at its ~10x smaller epoch granularity.
 PATIENCE = int(os.environ.get("MGR_TPU_GEN_PATIENCE", "20"))
 ROOT = os.environ.get("MGR_TPU_GEN_ROOT", "")
+# Persistent checkpoint dir so a relay crash mid-stage RESUMES instead
+# of restarting a multi-hour chip run (review r5 finding). Defaults to
+# <ROOT>/workdir whenever a persistent ROOT is given; "" (no ROOT, the
+# CPU smokes) keeps the no-checkpoint behavior.
+WORKDIR = os.environ.get("MGR_TPU_GEN_WORKDIR", "") or (
+    os.path.join(ROOT, "workdir") if ROOT else ""
+)
 GUARD = int(os.environ.get("MGR_TPU_GEN_GUARD", "0") or 0)
 # ChaLearn content density (8-20 gestures x ~90 skeletal frames) — the
 # geometry every round-3/4 campaign used; 95%-padding corpora sit in
@@ -80,17 +87,7 @@ _BIAS = os.environ.get("MGR_TPU_GEN_BLANK_BIAS", "skeletal:-3")
 
 
 def _blank_bias(stage: str) -> float:
-    if not _BIAS:
-        return 0.0
-    try:
-        return float(_BIAS)
-    except ValueError:
-        pass
-    for part in _BIAS.split(","):
-        name, _, val = part.partition(":")
-        if name.strip() == stage and val.strip():
-            return float(val)
-    return 0.0
+    return cfglib.parse_stage_table(_BIAS, stage, default=0.0) or 0.0
 
 
 def _opt(lr: float) -> "cfglib.OptimizerConfig":
@@ -125,14 +122,29 @@ def _cfg(name: str, hidden: int) -> "cfglib.PipelineConfig":
 def _run(name: str, cfg, ds) -> dict:
     model = build_model(cfg)
     t0 = time.time()
+    if WORKDIR:
+        os.makedirs(WORKDIR, exist_ok=True)
     # The reference's quality-control loop: monitor the VAL loss,
     # early-stop on patience, keep the best-val state for decode.
-    res = fit(model, ds, workdir=None, epochs=EPOCHS,
+    # With a persistent WORKDIR the run checkpoints and resumes (a
+    # crash restart continues from `latest`; the `best` SLOT holds the
+    # best-val state across restarts, which the decode below prefers
+    # over the in-memory best of the final leg only).
+    res = fit(model, ds, workdir=WORKDIR or None, epochs=EPOCHS,
+              resume=bool(WORKDIR), checkpoint_every=100,
               monitor="val", keep_best_state=True, sync_every=SYNC)
     wall = time.time() - t0
     best = res.best_state if res.best_state is not None else res.state
-    val = evaluate_accuracy(model, best.params, ds, train_split=False)
-    train = evaluate_accuracy(model, best.params, ds, train_split=True)
+    best_params = best.params
+    if WORKDIR:
+        from mgr_tpu.train.loop import load_params_for_eval
+
+        try:
+            best_params = load_params_for_eval(model, WORKDIR, slot="best")
+        except Exception:
+            pass  # no best slot written yet — fall back to in-memory
+    val = evaluate_accuracy(model, best_params, ds, train_split=False)
+    train = evaluate_accuracy(model, best_params, ds, train_split=True)
     return {
         "val_accuracy": round(val["accuracy"], 4),
         "val_wer": round(val["wer"], 4),

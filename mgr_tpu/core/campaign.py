@@ -119,10 +119,14 @@ def own_chip_or_exit(tag: str) -> None:
 
     CPU-pinned processes (JAX_PLATFORMS=cpu — test smokes, local dev)
     no-op: the lock guards the relay-attached chip, not the code. On a
-    chip target, acquire the lock or exit(3) with the holder's identity
-    instead of colliding (two TPU processes wedge the relay). The lock
-    is released at process exit; a crash leaves a stale lock the next
-    acquirer steals."""
+    chip target, acquire the lock or exit(75) (EX_TEMPFAIL: retryable)
+    with the holder's identity instead of colliding (two TPU processes
+    wedge the relay). 75 is deliberately DISTINCT from the campaign
+    scripts' own semantic exit codes (tpu_convergence_check's
+    REQUIRE_ENC abort uses 3) so a queue's ok_rc list can never mistake
+    a lock collision for a measured result (review r5 finding). The
+    lock is released at process exit; a crash leaves a stale lock the
+    next acquirer steals."""
     import atexit
     import sys
 
@@ -133,7 +137,7 @@ def own_chip_or_exit(tag: str) -> None:
     except CampaignLockHeld as e:
         print(f"{tag}: {e} — refusing to collide; retry when free",
               file=sys.stderr)
-        raise SystemExit(3)
+        raise SystemExit(75)
     atexit.register(release)
 
 

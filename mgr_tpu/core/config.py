@@ -351,3 +351,21 @@ def get_preset(name: str, **overrides: Any) -> PipelineConfig:
         raise KeyError(f"unknown pipeline {name!r}; choose from {sorted(PRESETS)}")
     cfg = PRESETS[name]()
     return cfg.replace(**overrides) if overrides else cfg
+
+
+def parse_stage_table(raw: str, stage: str, default=None):
+    """Parse the campaign-env grammar shared by the MGR_TPU_* per-stage
+    knobs (BLANK_BIAS / TARGET / ACC_TARGET tables): a bare float
+    applies to every stage, ``"name:val,name:val"`` names stages
+    explicitly. Returns ``default`` when ``raw`` is empty or the stage
+    is absent. One implementation for every campaign driver — three
+    hand-rolled copies had already drifted (review r5 finding)."""
+    if not raw:
+        return default
+    if ":" not in raw:
+        return float(raw)
+    for part in raw.split(","):
+        name, _, val = part.partition(":")
+        if name.strip() == stage and val.strip():
+            return float(val)
+    return default

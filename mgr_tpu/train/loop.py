@@ -120,6 +120,7 @@ def fit(
 
     num_train_batches = max(data.num_batches(cfg.batch_size, train=True), 1)
     state = create_train_state(model, prng.root_key(seed))
+    resumed_best = None
     if resume and workdir and ckpt_lib.has_checkpoint(workdir, stamp):
         # Flexible restore: survives an optimizer-wrapper change between
         # save and resume (e.g. toggling skip_nonfinite) by falling back
@@ -141,11 +142,17 @@ def fit(
                 f"original corpus/batch geometry, or start a fresh "
                 f"workdir."
             )
+        # Carry the best-monitored loss across restarts: without it a
+        # resumed run restarts best tracking from +inf and its FIRST
+        # window overwrites the `best` slot with a possibly-worse state
+        # (on a val-rising memorization trajectory, strictly worse).
+        resumed_best = saved.get("best_val_loss")
     if workdir:
         ckpt_lib.save_config(workdir, stamp, cfg)
-        ckpt_lib.save_fit_meta(
-            workdir, stamp, {"num_train_batches": num_train_batches}
-        )
+        meta = {"num_train_batches": num_train_batches}
+        if resumed_best is not None:
+            meta["best_val_loss"] = resumed_best
+        ckpt_lib.save_fit_meta(workdir, stamp, meta)
     if mesh is not None:
         state = state._replace(
             params=shard_lib.shard_params(state.params, mesh)
@@ -187,6 +194,13 @@ def fit(
             ckpt_writer.save(s, slot=slot)
         else:
             ckpt_lib.save_checkpoint(workdir, stamp, s, slot=slot)
+        if slot == "best":
+            # Persist the best-monitored loss next to the slot so a
+            # crash-resume keeps protecting it (see resumed_best above).
+            ckpt_lib.save_fit_meta(workdir, stamp, {
+                "num_train_batches": num_train_batches,
+                "best_val_loss": best_val,
+            })
 
     plateau = None
     if cfg.reduce_lr_factor is not None:
@@ -225,7 +239,7 @@ def fit(
         )
 
     data_key = prng.fold_name(prng.root_key(seed), "dropout")
-    best_val = float("inf")
+    best_val = float("inf") if resumed_best is None else float(resumed_best)
     best_state_loss = float("nan")
     pending_best = None
     wait = 0

@@ -536,3 +536,37 @@ def test_resume_refuses_mismatched_corpus_geometry(speech_data, tmp_path):
     with pytest.raises(ValueError, match="train batches/epoch"):
         fit(build_model(cfg2), ds2, workdir=str(tmp_path), resume=True,
             epochs=4)
+
+
+def test_resume_preserves_best_val_across_restart(speech_data, tmp_path):
+    """A crash-resume must keep protecting the best slot: without the
+    fit-meta carry, the resumed run restarts best tracking from +inf
+    and its first window overwrites `best` with a possibly-worse state
+    (review r5 finding — the generalization chip stage resumes
+    best-VAL runs on a memorizing trajectory where val only rises)."""
+    import jax
+
+    from mgr_tpu.core import checkpoint as ckpt_lib
+
+    data_dir, label_file = speech_data
+    cfg = _speech_cfg()
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    model = build_model(cfg)
+    wd = str(tmp_path)
+
+    res1 = fit(model, ds, workdir=wd, epochs=6, monitor="val")
+    meta = ckpt_lib.load_fit_meta(wd, cfg.name)
+    assert meta.get("best_val_loss") == res1.best_val_loss
+
+    # Resumed continuation: best_val starts from the saved value, so a
+    # worse-val continuation must neither lower the reported best nor
+    # rewrite the best slot.
+    best_before = load_params_for_eval(model, wd, slot="best")
+    res2 = fit(model, ds, workdir=wd, epochs=9, resume=True,
+               monitor="val")
+    assert res2.best_val_loss <= res1.best_val_loss
+    if res2.best_val_loss == res1.best_val_loss:
+        best_after = load_params_for_eval(model, wd, slot="best")
+        for a, b in zip(jax.tree.leaves(best_before),
+                        jax.tree.leaves(best_after)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
