@@ -324,8 +324,23 @@ def main() -> None:
     # patience lifted so the timing run is never cut short on synthetic
     # (unlearnable) features.
     def scaled(name, batch):
+        # Per-stage overrides: the round-5 measured recipe is
+        # HETEROGENEOUS — trainable encoders escape at big-batch 3e-3
+        # while the frozen fusion head needs small-batch constant 1e-4
+        # (BASELINE.md round 5: B=8/1e-4 → 0.9027 where B=128/3e-3
+        # oscillated at ~19 indefinitely). Tables use the shared
+        # parse_stage_table grammar, e.g.
+        #   MGR_TPU_CB_STAGE_BATCH="late_fusion:8"
+        #   MGR_TPU_CB_STAGE_LR="late_fusion:1e-4"
+        stage_batch = _parse_stage_table(
+            os.environ.get("MGR_TPU_CB_STAGE_BATCH", ""), name
+        )
+        stage_lr = _parse_stage_table(
+            os.environ.get("MGR_TPU_CB_STAGE_LR", ""), name
+        )
         cfg = cfglib.get_preset(name).replace(
-            batch_size=BATCH or batch, patience=EPOCHS + 1
+            batch_size=int(stage_batch) if stage_batch else (BATCH or batch),
+            patience=EPOCHS + 1,
         )
         if MEASURED:
             import dataclasses
@@ -336,7 +351,7 @@ def main() -> None:
             # parity semantics stay.
             cfg = cfg.replace(
                 optimizer=dataclasses.replace(
-                    cfg.optimizer, learning_rate=LR
+                    cfg.optimizer, learning_rate=stage_lr or LR
                 ),
                 encoder=dataclasses.replace(
                     cfg.encoder, input_noise=0.05,
