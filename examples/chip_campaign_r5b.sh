@@ -78,7 +78,7 @@ stage curriculum_1cmd 8 -- env \
   MGR_TPU_CB_ACC_EVERY=400 \
   MGR_TPU_CB_STAGE_BATCH="speech:32,skeletal:32,late_fusion:8" \
   MGR_TPU_CB_STAGE_LR="speech:3e-3,skeletal:3e-3,late_fusion:1e-4" \
-  MGR_TPU_CB_BLANK_BIAS="skeletal:-3,late_fusion:-3" \
+  MGR_TPU_CB_BLANK_BIAS="speech:-3,skeletal:-3,late_fusion:-3" \
   MGR_TPU_CB_SYNC_EVERY=10 \
   MGR_TPU_CB_FINETUNE_EPOCHS=3000 MGR_TPU_CB_FINETUNE_LR=3e-4 \
   python examples/curriculum_bench.py

@@ -202,6 +202,16 @@ def _bench_stage(cfg, data, workdir, *, resume=False, source_configs=None):
     target = _target_for(cfg.name) if MEASURED else None
     acc_target = _acc_target_for(cfg.name) if MEASURED else None
 
+    # ONE plateau controller for the whole stage: the chunked accuracy
+    # loop calls fit() repeatedly, and a per-call controller resets
+    # lr_scale to 1.0 at every chunk boundary — the run re-catapults to
+    # the base LR and the 1e-4 persistence that breaks CTC blank-floor
+    # plateaus never accumulates (measured round 5: the speech stage
+    # sawtoothed 16 -> 38 -> 17 every 400 epochs this way).
+    from mgr_tpu.train import optimizer as opt_lib
+
+    plateau_ctl = opt_lib.plateau_from_config(cfg)
+
     def _fit(up_to, resume_now):
         return fit(
             model, data, workdir=workdir, epochs=up_to, resume=resume_now,
@@ -210,6 +220,7 @@ def _bench_stage(cfg, data, workdir, *, resume=False, source_configs=None):
             keep_best_state=MEASURED,
             sync_every=SYNC_EVERY,
             stop_below=target,
+            plateau_controller=plateau_ctl,
         )
 
     acc_probe = None
@@ -234,6 +245,9 @@ def _bench_stage(cfg, data, workdir, *, resume=False, source_configs=None):
                     is not None else res.state
                 acc_probe = _ev(model, probe_state.params, data,
                                 train_split=True)["accuracy"]
+                print(f"[{cfg.name}] acc probe @ep{done}: "
+                      f"{acc_probe:.4f} (target {acc_target})",
+                      flush=True)
                 if acc_probe >= acc_target:
                     break
             if res is None:
@@ -258,6 +272,10 @@ def _bench_stage(cfg, data, workdir, *, resume=False, source_configs=None):
                                       learning_rate=FT_LR),
             )
             model = build_model(cfg_ft, source_configs=source_configs)
+            # Fresh controller for the finetune leg: it trains at its
+            # own base LR (FT_LR), so the frozen leg's annealed scale
+            # must not carry over.
+            plateau_ctl = opt_lib.plateau_from_config(cfg_ft)
             epochs_before = int(result.state.step) // max(
                 data.num_batches(cfg.batch_size, train=True), 1
             )

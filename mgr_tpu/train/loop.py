@@ -72,6 +72,7 @@ def fit(
     keep_best_state: bool = False,
     sync_every: int = 1,
     stop_below: Optional[float] = None,
+    plateau_controller=None,
 ) -> FitResult:
     """Train one pipeline.
 
@@ -101,6 +102,11 @@ def fit(
     as the monitored loss drops below this value (used by the measured
     curriculum bench to report wall-clock-to-target instead of a fixed
     epoch count).
+
+    ``plateau_controller`` — caller-owned ReduceLROnPlateau (see
+    optimizer.plateau_from_config) reused across fit() calls so chunked
+    drivers keep their annealed LR instead of resetting to the base LR
+    every chunk. Default: constructed fresh from the config.
 
     ``sync_every`` — host-sync cadence in epochs. At K>1 the loop
     dispatches K epochs of train steps back-to-back, runs the val pass
@@ -202,14 +208,14 @@ def fit(
                 "best_val_loss": best_val,
             })
 
-    plateau = None
-    if cfg.reduce_lr_factor is not None:
-        plateau = opt_lib.ReduceLROnPlateau(
-            cfg.reduce_lr_factor, cfg.reduce_lr_patience,
-            cfg.reduce_lr_min, cfg.optimizer.learning_rate,
-            min_delta=cfg.reduce_lr_min_delta,
-            cooldown=cfg.reduce_lr_cooldown,
-        )
+    # ``plateau_controller`` — caller-owned ReduceLROnPlateau that
+    # PERSISTS across fit() calls (chunked drivers: a fresh controller
+    # per chunk resets lr_scale to 1.0 every chunk, so an annealed run
+    # re-catapults to the base LR — measured round 5, see
+    # opt_lib.plateau_from_config).
+    plateau = plateau_controller
+    if plateau is None:
+        plateau = opt_lib.plateau_from_config(cfg)
 
     if sync_every > 1 and monitor != "train":
         # Keras-parity knobs quietly rescale under windowed syncing:
@@ -243,7 +249,9 @@ def fit(
     best_state_loss = float("nan")
     pending_best = None
     wait = 0
-    lr_scale = 1.0
+    # A persisted controller resumes at its annealed scale — the very
+    # first window's steps must already train at that LR, not 1.0.
+    lr_scale = plateau.scale if plateau is not None else 1.0
     history = []
     start_epoch = int(state.step) // num_train_batches
 

@@ -85,6 +85,27 @@ def apply_maxnorm(params: Params, max_value: Optional[float]) -> Params:
     return jax.tree_util.tree_map_with_path(proj, params)
 
 
+def plateau_from_config(cfg) -> "ReduceLROnPlateau | None":
+    """Build the plateau controller a PipelineConfig describes (or None).
+
+    Shared by fit() and by chunked drivers (curriculum_bench's
+    wall-clock-to-accuracy loop) that must keep ONE controller alive
+    across several fit() calls: constructing a fresh controller per
+    chunk resets lr_scale to 1.0 at every chunk boundary, catapulting
+    the loss back up the escape ladder (measured round 5: the speech
+    stage sawtoothed 16 -> 38 -> 17 every 400 epochs and the 1e-4
+    persistence that breaks CTC blank-floor plateaus never
+    accumulated)."""
+    if cfg.reduce_lr_factor is None:
+        return None
+    return ReduceLROnPlateau(
+        cfg.reduce_lr_factor, cfg.reduce_lr_patience,
+        cfg.reduce_lr_min, cfg.optimizer.learning_rate,
+        min_delta=cfg.reduce_lr_min_delta,
+        cooldown=cfg.reduce_lr_cooldown,
+    )
+
+
 class ReduceLROnPlateau:
     """Host-side LR controller matching keras.callbacks.ReduceLROnPlateau
     (factor/patience/min_lr/cooldown as in rgb_network/cnn_lstm.py:

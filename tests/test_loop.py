@@ -377,6 +377,48 @@ def test_plateau_cooldown_blocks_refire():
         scales
 
 
+def test_plateau_controller_persists_across_chunked_fits(speech_data):
+    """A caller-owned controller must carry its annealed scale across
+    fit() calls — chunked drivers (curriculum_bench's accuracy loop)
+    otherwise reset lr_scale to 1.0 at every chunk boundary and the run
+    re-catapults to the base LR (measured round 5: the speech stage
+    sawtoothed 16 -> 38 -> 17 every 400 epochs and the low-LR
+    persistence that breaks CTC blank-floor plateaus never
+    accumulated)."""
+    from mgr_tpu.train.optimizer import plateau_from_config
+
+    data_dir, label_file = speech_data
+    enc = cfglib.EncoderConfig(hidden=8, depth=2, input_noise=0.0,
+                               dropout=(0.0, 0.0), output_dropout=0.0)
+    # (numerically) zero LR -> flat monitored loss -> patience=1 fires
+    # every epoch after the first.
+    cfg = _speech_cfg(
+        encoder=enc,
+        optimizer=cfglib.OptimizerConfig(learning_rate=1e-12),
+        reduce_lr_factor=0.5, reduce_lr_patience=1, reduce_lr_min=1e-18,
+    )
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    model = build_model(cfg)
+
+    ctl = plateau_from_config(cfg)
+    res1 = fit(model, ds, workdir=None, epochs=3, monitor="train",
+               plateau_controller=ctl)
+    end_scale = res1.history[-1]["lr_scale"]
+    assert end_scale < 1.0
+    res2 = fit(model, ds, workdir=None, epochs=3, monitor="train",
+               plateau_controller=ctl)
+    chunk2_scales = [rec["lr_scale"] for rec in res2.history]
+    # The second chunk continues from (at or below) the annealed scale
+    # — never back at 1.0.
+    assert all(s <= end_scale for s in chunk2_scales), (
+        end_scale, chunk2_scales)
+
+    # Control: without a shared controller the second call resets
+    # (the bug this guards against).
+    res3 = fit(model, ds, workdir=None, epochs=3, monitor="train")
+    assert res3.history[0]["lr_scale"] == 1.0
+
+
 def test_plateau_monitor_decoupled_from_fit_monitor(speech_data):
     """reduce_lr_monitor="train" (the reference-parity default,
     cnn_lstm.py:439 monitor='loss') drives the anneal from per-epoch
