@@ -127,6 +127,7 @@ def fit(
     num_train_batches = max(data.num_batches(cfg.batch_size, train=True), 1)
     state = create_train_state(model, prng.root_key(seed))
     resumed_best = None
+    saved_meta = {}
     if resume and workdir and ckpt_lib.has_checkpoint(workdir, stamp):
         # Flexible restore: survives an optimizer-wrapper change between
         # save and resume (e.g. toggling skip_nonfinite) by falling back
@@ -137,7 +138,7 @@ def fit(
         # mis-derives it — measured round 3: a 96-file relaunch of a
         # 160-file run computed start_epoch 6266 >= epochs and returned
         # without training. Refuse loudly instead.
-        saved = ckpt_lib.load_fit_meta(workdir, stamp)
+        saved = saved_meta = ckpt_lib.load_fit_meta(workdir, stamp)
         if saved.get("num_train_batches") not in (None, num_train_batches):
             raise ValueError(
                 f"fit(resume=True) on '{stamp}': this corpus yields "
@@ -158,6 +159,11 @@ def fit(
         meta = {"num_train_batches": num_train_batches}
         if resumed_best is not None:
             meta["best_val_loss"] = resumed_best
+        if saved_meta.get("plateau"):
+            # Keep the persisted LR-anneal state on disk until the
+            # first in-run save refreshes it (the controller restore
+            # happens a few lines below).
+            meta["plateau"] = saved_meta["plateau"]
         ckpt_lib.save_fit_meta(workdir, stamp, meta)
     if mesh is not None:
         state = state._replace(
@@ -200,13 +206,17 @@ def fit(
             ckpt_writer.save(s, slot=slot)
         else:
             ckpt_lib.save_checkpoint(workdir, stamp, s, slot=slot)
-        if slot == "best":
-            # Persist the best-monitored loss next to the slot so a
-            # crash-resume keeps protecting it (see resumed_best above).
-            ckpt_lib.save_fit_meta(workdir, stamp, {
-                "num_train_batches": num_train_batches,
-                "best_val_loss": best_val,
-            })
+        # Persist the small host-side training state next to every slot
+        # write: the best-monitored loss (so a crash-resume keeps
+        # protecting the best slot) and the LR-anneal controller state
+        # (so a crash-resume continues at the annealed LR instead of
+        # re-catapulting to the base LR).
+        meta = {"num_train_batches": num_train_batches}
+        if best_val != float("inf"):
+            meta["best_val_loss"] = best_val
+        if plateau is not None:
+            meta["plateau"] = plateau.state_dict()
+        ckpt_lib.save_fit_meta(workdir, stamp, meta)
 
     # ``plateau_controller`` — caller-owned ReduceLROnPlateau that
     # PERSISTS across fit() calls (chunked drivers: a fresh controller
@@ -216,6 +226,15 @@ def fit(
     plateau = plateau_controller
     if plateau is None:
         plateau = opt_lib.plateau_from_config(cfg)
+    # Crash-resume: restore the annealed LR state persisted in fitmeta.
+    # Only a PRISTINE controller is restored — an in-process chunked
+    # driver's already-annealed controller must not be clobbered by
+    # older on-disk state (its in-memory state is strictly newer).
+    # Measured round 5: resuming a wedge-killed skeletal stage at scale
+    # 1.0 threw the loss from 1.09 back to 9.6 with val divergence.
+    if (plateau is not None and saved_meta.get("plateau")
+            and plateau.is_pristine()):
+        plateau.load_state_dict(saved_meta["plateau"])
 
     if sync_every > 1 and monitor != "train":
         # Keras-parity knobs quietly rescale under windowed syncing:

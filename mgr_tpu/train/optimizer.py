@@ -127,6 +127,32 @@ class ReduceLROnPlateau:
         self.wait = 0
         self.scale = 1.0
 
+    def is_pristine(self) -> bool:
+        """True iff the controller has never observed a loss — the state
+        a freshly constructed controller (e.g. in a restarted process)
+        is in. fit(resume=True) only restores persisted plateau state
+        into pristine controllers, so an in-process chunked driver's
+        already-annealed controller is never clobbered by older on-disk
+        state."""
+        return (self.scale == 1.0 and self.best == float("inf")
+                and self.wait == 0 and self.cooldown_counter == 0)
+
+    def state_dict(self) -> dict:
+        """JSON-serializable mutable state (persisted in the fitmeta
+        sidecar so a crash-resume continues at the annealed LR instead
+        of re-catapulting to the base LR — measured round 5: a relay
+        kill + resume at scale 1.0 threw a skeletal run from loss 1.09
+        back to 9.6 with val divergence)."""
+        return {"scale": self.scale, "best": self.best,
+                "wait": self.wait,
+                "cooldown_counter": self.cooldown_counter}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.scale = float(d["scale"])
+        self.best = float(d["best"])
+        self.wait = int(d["wait"])
+        self.cooldown_counter = int(d["cooldown_counter"])
+
     def update(self, monitored: float) -> float:
         # Keras cooldown semantics: for `cooldown` updates after a
         # reduction, patience does not accumulate (wait pinned to 0),

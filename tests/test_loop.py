@@ -419,6 +419,56 @@ def test_plateau_controller_persists_across_chunked_fits(speech_data):
     assert res3.history[0]["lr_scale"] == 1.0
 
 
+def test_plateau_state_survives_crash_resume(speech_data, tmp_path):
+    """The annealed LR scale must survive a PROCESS restart, not just a
+    chunk boundary: fit persists controller state in the fitmeta
+    sidecar and resume restores it into a pristine controller.
+    (Measured round 5: a relay-wedge kill + resume at scale 1.0 threw a
+    skeletal stage from loss 1.09 back to 9.6 with val divergence.)"""
+    from mgr_tpu.train.optimizer import plateau_from_config
+
+    data_dir, label_file = speech_data
+    enc = cfglib.EncoderConfig(hidden=8, depth=2, input_noise=0.0,
+                               dropout=(0.0, 0.0), output_dropout=0.0)
+    cfg = _speech_cfg(
+        encoder=enc,
+        optimizer=cfglib.OptimizerConfig(learning_rate=1e-12),
+        reduce_lr_factor=0.5, reduce_lr_patience=1, reduce_lr_min=1e-18,
+    )
+    ds = datasets.build_audio_dataset(data_dir, label_file, cfg)
+    model = build_model(cfg)
+    wd = str(tmp_path)
+
+    ctl = plateau_from_config(cfg)
+    res1 = fit(model, ds, workdir=wd, epochs=3, monitor="train",
+               plateau_controller=ctl)
+    end_scale = res1.history[-1]["lr_scale"]
+    assert end_scale < 1.0
+
+    # "Restart": a fresh pristine controller, as a new process builds.
+    fresh = plateau_from_config(cfg)
+    assert fresh.is_pristine()
+    res2 = fit(model, ds, workdir=wd, epochs=6, monitor="train",
+               resume=True, plateau_controller=fresh)
+    assert res2.history[0]["lr_scale"] <= end_scale, (
+        end_scale, res2.history[0]["lr_scale"])
+
+    # Same restart with fit's own internally-built controller
+    # (plateau_controller=None) restores too.
+    res3 = fit(model, ds, workdir=wd, epochs=9, monitor="train",
+               resume=True)
+    assert res3.history[0]["lr_scale"] <= end_scale
+
+    # An already-annealed in-memory controller is NOT clobbered by
+    # older on-disk state: chunked drivers' in-memory state is newer.
+    newer = plateau_from_config(cfg)
+    newer.load_state_dict({"scale": 0.015625, "best": 1.0, "wait": 0,
+                           "cooldown_counter": 0})
+    res4 = fit(model, ds, workdir=wd, epochs=12, monitor="train",
+               resume=True, plateau_controller=newer)
+    assert res4.history[0]["lr_scale"] == 0.015625
+
+
 def test_plateau_monitor_decoupled_from_fit_monitor(speech_data):
     """reduce_lr_monitor="train" (the reference-parity default,
     cnn_lstm.py:439 monitor='loss') drives the anneal from per-epoch
