@@ -84,10 +84,39 @@ MAX_LABELS = int(os.environ.get("MGR_TPU_GEN_LABELS", "20"))
 # Blank-dominance mitigation per stage ("skeletal:-3" table or a bare
 # float for all) — measured unlock for skeletal-family CTC stacks.
 _BIAS = os.environ.get("MGR_TPU_GEN_BLANK_BIAS", "skeletal:-3")
+# ReduceLROnPlateau per stage: "skeletal:0.5/15/1e-4" =
+# factor/patience/min_lr following the monitored TRAIN loss
+# (cfg.reduce_lr_monitor default) — the measured remedy for the
+# skeletal 3e-3 oscillation floor (curriculum_bench measured mode
+# reached 0.9962 train in 400 epochs with exactly this anneal, where
+# the constant-LR generalization run early-stopped at val 0.119).
+_RLR = os.environ.get("MGR_TPU_GEN_RLR", "")
 
 
 def _blank_bias(stage: str) -> float:
     return cfglib.parse_stage_table(_BIAS, stage, default=0.0) or 0.0
+
+
+def _rlr(stage: str) -> dict:
+    if not _RLR:
+        return {}
+    spec = None
+    for part in _RLR.split(","):
+        name, _, val = part.partition(":")
+        if name.strip() == stage and val.strip():
+            spec = val.strip()
+    if spec is None:
+        return {}
+    fields = spec.split("/")
+    if len(fields) != 3:
+        raise SystemExit(
+            f"MGR_TPU_GEN_RLR entry for '{stage}' must be "
+            f"factor/patience/min_lr, got '{spec}'")
+    return {
+        "reduce_lr_factor": float(fields[0]),
+        "reduce_lr_patience": int(fields[1]),
+        "reduce_lr_min": float(fields[2]),
+    }
 
 
 def _opt(lr: float) -> "cfglib.OptimizerConfig":
@@ -114,6 +143,7 @@ def _cfg(name: str, hidden: int) -> "cfglib.PipelineConfig":
         optimizer=_opt(LR),
         patience=PATIENCE,
         head_blank_bias=_blank_bias(name),
+        **_rlr(name),
     )
     assert cfg.ctc.padded_length_parity and cfg.ctc.trim_frames == 2
     return cfg
