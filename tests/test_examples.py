@@ -216,6 +216,36 @@ def test_curriculum_bench_measured_smoke():
     assert lf["epochs_run"] == 3  # 2 frozen + 1 finetune
 
 
+def test_generalization_fusion_smoke():
+    """The FULL frozen-encoder curriculum under the quality-control
+    loop: shared-label two-stream corpus, best-VAL encoder graft,
+    frozen fusion head, held-out decode. Toy geometry — the real row
+    is measured on the chip."""
+    r = _run("generalization_check.py", {
+        "MGR_TPU_GEN_FILES": "10",
+        "MGR_TPU_GEN_EPOCHS": "3",
+        "MGR_TPU_GEN_MAXLEN": "64",
+        "MGR_TPU_GEN_BATCH": "2",
+        "MGR_TPU_GEN_FPL": "6",
+        "MGR_TPU_GEN_LABELS": "3",
+        "MGR_TPU_GEN_HIDDEN_SCALE": "0.02",
+        "MGR_TPU_GEN_SYNC": "1",
+        "MGR_TPU_GEN_PATIENCE": "2",
+        "MGR_TPU_GEN_ONLY": "late_fusion",
+        "MGR_TPU_GEN_FUSION_BATCH": "2",
+        "MGR_TPU_GEN_RLR": "late_fusion:0.5/1/1e-5",
+    })
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "heldout_generalization"
+    for stage in ("pretrain_speech", "pretrain_skeletal", "late_fusion"):
+        row = out[stage]
+        assert {"val_accuracy", "val_wer", "train_accuracy",
+                "generalization_gap", "early_stopped",
+                "best_val_loss"} <= set(row)
+        assert row["epochs_run"] <= 3
+
+
 def test_generalization_check_smoke():
     """The reference's quality-control loop driven end-to-end: seeded
     80/20 file split, fit(monitor='val') + EarlyStopping, best-val
