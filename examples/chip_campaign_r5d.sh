@@ -62,11 +62,19 @@ stage() {  # stage <name> <max_tries> [ok_rc...] -- cmd...
 # --- held-out fusion curriculum --------------------------------------
 # ROOT persists corpus + checkpoints + pretrain sentinels, so relay
 # deaths resume mid-curriculum (plateau state survives restarts too).
-stage gen_fusion 8 -- env \
+# Attempt 1 (gen_fusion, k=1..20 sparse corpus) measured: speech val
+# 0.9246 but the skeletal stage froze flat at 8.97 — low-density files
+# (~50% padding on average) pin the skeletal stack in the blank basin.
+# Attempt 2 runs at ChaLearn density (k=8..20, MIN_LABELS) with a
+# REQUIRE_ENC gate so a bad pretrain aborts (rc=3) instead of wasting
+# the 40-min fusion leg on garbage features.
+stage gen_fusion2 8 3 -- env \
   MGR_TPU_GEN_ONLY=late_fusion \
   MGR_TPU_GEN_EPOCHS=4000 \
   MGR_TPU_GEN_PATIENCE=60 \
   MGR_TPU_GEN_GUARD=1 \
+  MGR_TPU_GEN_MIN_LABELS=8 \
+  MGR_TPU_GEN_REQUIRE_ENC=0.85 \
   MGR_TPU_GEN_DROPOUT="speech:0.1,skeletal:0.05" \
   MGR_TPU_GEN_NOISE="speech:0.1,skeletal:0.05" \
   MGR_TPU_GEN_PERGATE="speech:1,skeletal:0" \
@@ -74,7 +82,7 @@ stage gen_fusion 8 -- env \
   MGR_TPU_GEN_FUSION_BATCH=8 \
   MGR_TPU_GEN_FUSION_LR=1e-4 \
   MGR_TPU_GEN_FUSION_EPOCHS=6000 \
-  MGR_TPU_GEN_ROOT="$ART/gen_fusion" \
+  MGR_TPU_GEN_ROOT="$ART/gen_fusion2" \
   python examples/generalization_check.py
 
 note "queue_r5d complete"

@@ -56,13 +56,13 @@ stage() {  # stage <name> <max_tries> [ok_rc...] -- cmd...
 # Seed the B=2 root from the drained r5d run (idempotent: skipped when
 # the copy already exists, e.g. a relaunch mid-fusion-stage).
 if [ ! -d "$ART/gen_fusion_b2" ]; then
-  if [ ! -e "$ART/gen_fusion.done" ]; then
-    note "ABORT: r5d gen_fusion has not drained — run queue_d first"
+  if [ ! -e "$ART/gen_fusion2.done" ]; then
+    note "ABORT: r5d gen_fusion2 has not drained — run queue_d first"
     exit 1
   fi
-  cp -r "$ART/gen_fusion" "$ART/gen_fusion_b2"
+  cp -r "$ART/gen_fusion2" "$ART/gen_fusion_b2"
   rm -f "$ART/gen_fusion_b2"/workdir/late_fusion_*
-  note "seeded gen_fusion_b2 from gen_fusion (fresh fusion head)"
+  note "seeded gen_fusion_b2 from gen_fusion2 (fresh fusion head)"
 fi
 
 stage gen_fusion_b2 8 -- env \
@@ -70,6 +70,8 @@ stage gen_fusion_b2 8 -- env \
   MGR_TPU_GEN_EPOCHS=4000 \
   MGR_TPU_GEN_PATIENCE=60 \
   MGR_TPU_GEN_GUARD=1 \
+  MGR_TPU_GEN_MIN_LABELS=8 \
+  MGR_TPU_GEN_REQUIRE_ENC=0.85 \
   MGR_TPU_GEN_DROPOUT="speech:0.1,skeletal:0.05" \
   MGR_TPU_GEN_NOISE="speech:0.1,skeletal:0.05" \
   MGR_TPU_GEN_PERGATE="speech:1,skeletal:0" \

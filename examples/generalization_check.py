@@ -81,6 +81,15 @@ GUARD = int(os.environ.get("MGR_TPU_GEN_GUARD", "0") or 0)
 # the CTC all-blank basin for thousands of epochs (CLAUDE.md).
 FPL = int(os.environ.get("MGR_TPU_GEN_FPL", "90"))
 MAX_LABELS = int(os.environ.get("MGR_TPU_GEN_LABELS", "20"))
+# Content-density floor: ChaLearn files carry 8-20 gestures; drawing
+# k=1..20 uniform leaves ~50% padding on average and measurably pins
+# the skeletal stack in the blank basin (r5d: frozen flat at 8.97).
+MIN_LABELS = int(os.environ.get("MGR_TPU_GEN_MIN_LABELS", "1") or 1)
+# Pretrain-quality gate for the fusion path (tpu_convergence_check's
+# REQUIRE_ENC pattern): abort rc=3 before the fusion stage when an
+# encoder's TRAIN accuracy is below the floor — a frozen head on
+# garbage features wastes a 40-min chip leg (round-4 lesson).
+REQUIRE_ENC = float(os.environ.get("MGR_TPU_GEN_REQUIRE_ENC", "0") or 0)
 # Blank-dominance mitigation per stage ("skeletal:-3" table or a bare
 # float for all) — measured unlock for skeletal-family CTC stacks and
 # for the frozen-feature fusion head (PARITY.md opt-in knobs).
@@ -242,7 +251,7 @@ def _late_fusion_stage(root: str, reuse: bool, out: dict) -> None:
     sk_csv, sk_lab, labels = synthetic.make_skeletal_dataset(
         fus_root, n_files=N_FILES, n_classes=22,
         frames_per_label=FPL, max_labels=MAX_LABELS, seed=12,
-        reuse=reuse,
+        reuse=reuse, min_labels=MIN_LABELS,
     )
     audio_dir, _, _ = synthetic.make_audio_dataset(
         fus_root, n_files=N_FILES, n_classes=22,
@@ -273,6 +282,22 @@ def _late_fusion_stage(root: str, reuse: bool, out: dict) -> None:
         if sent:
             with open(sent, "w") as f:
                 json.dump(row, f)
+    if REQUIRE_ENC:
+        for name in ("speech", "skeletal"):
+            acc = out[f"pretrain_{name}"]["train_accuracy"]
+            if acc < REQUIRE_ENC:
+                print(json.dumps({
+                    "metric": "heldout_generalization",
+                    "aborted": f"pretrain_{name} train accuracy "
+                               f"{acc} < REQUIRE_ENC {REQUIRE_ENC}",
+                    **out,
+                }), flush=True)
+                # Drop the failing pretrain's sentinel so a requeue
+                # retrains it instead of re-aborting on the cached row.
+                sent = os.path.join(root, f"pretrain_{name}.json")
+                if ROOT and os.path.exists(sent):
+                    os.remove(sent)
+                sys.exit(3)
     lf_cfg = cfglib.get_preset("late_fusion").replace(
         maxlen=MAXLEN, batch_size=FUSION_BATCH,
         optimizer=_opt(FUSION_LR),
@@ -318,7 +343,7 @@ def main() -> int:
             audio_dir, lab, _ = synthetic.make_audio_dataset(
                 root, n_files=N_FILES, n_classes=22,
                 frames_per_label=5 * FPL, max_labels=MAX_LABELS,
-                seed=11, reuse=reuse,
+                seed=11, reuse=reuse, min_labels=MIN_LABELS,
             )
             cfg = _cfg("speech", 500)
             ds = datasets.build_audio_dataset(audio_dir, lab, cfg)
@@ -329,7 +354,7 @@ def main() -> int:
             sk_csv, sk_lab, _ = synthetic.make_skeletal_dataset(
                 root, n_files=N_FILES, n_classes=22,
                 frames_per_label=FPL, max_labels=MAX_LABELS,
-                seed=12, reuse=reuse,
+                seed=12, reuse=reuse, min_labels=MIN_LABELS,
             )
             cfg = _cfg("skeletal", 300)
             ds = datasets.build_skeletal_dataset(sk_csv, sk_lab, cfg)

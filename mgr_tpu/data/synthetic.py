@@ -21,11 +21,17 @@ from mgr_tpu.data.formats import SKELETAL_FEATURES
 
 
 def _label_sequences(
-    rng: np.random.Generator, n_files: int, n_classes: int, max_labels: int
+    rng: np.random.Generator, n_files: int, n_classes: int,
+    max_labels: int, min_labels: int = 1,
 ) -> Dict[int, List[int]]:
+    # min_labels raises the CONTENT DENSITY floor: ChaLearn files carry
+    # 8-20 gestures, and sparse files (k=1 at a 1900-frame window is
+    # ~95% padding) measurably pin skeletal/fusion CTC stacks in the
+    # all-blank basin (CLAUDE.md round-3/5 calibration).
+    min_labels = max(1, min(min_labels, max_labels))
     out = {}
     for fid in range(1, n_files + 1):
-        k = int(rng.integers(1, max_labels + 1))
+        k = int(rng.integers(min_labels, max_labels + 1))
         out[fid] = rng.integers(1, n_classes - 1, size=k).tolist()
     return out
 
@@ -90,6 +96,7 @@ def make_audio_dataset(
     seed: int = 0,
     labels: Optional[Dict[int, List[int]]] = None,
     reuse: bool = False,
+    min_labels: int = 1,
 ) -> Tuple[str, str, Dict[int, List[int]]]:
     """Per-file ``audio_<id>.csv`` (39 feats + file_number col) and a
     ``training_oov.csv`` label file. Returns (data_dir, label_file,
@@ -101,7 +108,8 @@ def make_audio_dataset(
     data_dir = os.path.join(out_dir, "train_audio")
     os.makedirs(data_dir, exist_ok=True)
     if labels is None:
-        labels = _label_sequences(rng, n_files, n_classes, max_labels)
+        labels = _label_sequences(rng, n_files, n_classes, max_labels,
+                                  min_labels)
     sent, hit = (None, False)
     if reuse:
         sent, hit = _reuse_sentinel(out_dir, "audio", dict(
@@ -136,18 +144,20 @@ def make_skeletal_dataset(
     max_labels: int = 3,
     seed: int = 1,
     reuse: bool = False,
+    min_labels: int = 1,
 ) -> Tuple[str, str, Dict[int, List[int]]]:
     """Monolithic ``Training_set_skeletal.csv`` (20 feats + file_number)
     and a ``training.csv`` label file."""
     rng = np.random.default_rng(seed)
-    labels = _label_sequences(rng, n_files, n_classes, max_labels)
+    labels = _label_sequences(rng, n_files, n_classes, max_labels,
+                              min_labels)
     csv_path = os.path.join(out_dir, "Training_set_skeletal.csv")
     label_file = os.path.join(out_dir, "training.csv")
     sent, hit = (None, False)
     if reuse:
         sent, hit = _reuse_sentinel(out_dir, "skeletal", dict(
             n=n_files, c=n_classes, fpl=frames_per_label, ml=max_labels,
-            seed=seed,
+            mn=min_labels, seed=seed,
         ))
     if not hit:
         rows = []
